@@ -1,0 +1,76 @@
+"""CLI argument surface, flag-compatible with the reference binaries.
+
+Flag names, value conventions, and defaults mirror ``parseArgs``
+(``common/args.cpp:53-122``) and ``printUsage`` (``common/args.cpp:125-142``):
+``--datadir --outdir --size --rate --margin --method --batches --epochs
+--distance --seeddatadir --seedmethod --seed`` — the reference accepts both
+``-flag`` and ``--flag`` (common/utils.cpp:57), which argparse also does for
+unambiguous prefixes; we register both spellings explicitly.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from kb2e_tpu import constants as C
+from kb2e_tpu.config import EmbeddingConfig
+
+
+def build_parser(prog: str, description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog=prog, description=description)
+
+    def add(name, **kw):
+        p.add_argument(f"--{name}", f"-{name}", **kw)
+
+    add("datadir", dest="data_dir", default=C.DEFAULT_DATA_DIR,
+        help=f"data directory [{C.DEFAULT_DATA_DIR}]")
+    add("outdir", dest="output_dir", default=C.DEFAULT_OUTPUT_DIR,
+        help=f"output directory [{C.DEFAULT_OUTPUT_DIR}]")
+    add("size", dest="embedding_size", type=int, default=C.DEFAULT_EMBEDDING_SIZE,
+        help=f"embedding size [{C.DEFAULT_EMBEDDING_SIZE}]")
+    add("rate", dest="learning_rate", type=float, default=C.DEFAULT_LEARNING_RATE,
+        help=f"learning rate [{C.DEFAULT_LEARNING_RATE}]")
+    add("margin", dest="margin", type=float, default=C.DEFAULT_MARGIN,
+        help=f"margin [{C.DEFAULT_MARGIN}]")
+    add("method", dest="method", default=str(int(C.DEFAULT_METHOD)),
+        help="0/unif or 1/bern [1]")
+    add("batches", dest="num_batches", type=int, default=C.DEFAULT_NUM_BATCHES,
+        help=f"number of batches per epoch [{C.DEFAULT_NUM_BATCHES}]")
+    add("epochs", dest="max_epochs", type=int, default=C.DEFAULT_MAX_EPOCHS,
+        help=f"epochs [{C.DEFAULT_MAX_EPOCHS}]")
+    add("distance", dest="distance", default=str(int(C.DEFAULT_DISTANCE)),
+        help="0=L1, 1=L2 [0]")
+    add("seeddatadir", dest="seed_data_dir", default=C.DEFAULT_SEED_DATA_DIR,
+        help="TransR/CTransR warm-start directory [.]")
+    add("seedmethod", dest="seed_method", default=str(int(C.DEFAULT_SEED_METHOD)),
+        help="warm-start files' method tag [0 (unif)]")
+    add("seed", dest="seed", type=int, default=None, help="PRNG seed [now]")
+
+    # TPU-native extensions.
+    add("update-mode", dest="update_mode", default="fast", choices=("fast", "parity"),
+        help="fast = vectorised batch update; parity = reference-exact scan")
+    add("eval-batch", dest="eval_batch_size", type=int, default=256)
+    add("eval-block", dest="eval_block_size", type=int, default=4096)
+    add("metrics-jsonl", dest="metrics_jsonl", default=None,
+        help="append per-epoch JSONL metrics to this path")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> EmbeddingConfig:
+    return EmbeddingConfig(
+        data_dir=args.data_dir,
+        output_dir=args.output_dir,
+        embedding_size=args.embedding_size,
+        learning_rate=args.learning_rate,
+        margin=args.margin,
+        method=C.Method.from_any(args.method),
+        num_batches=args.num_batches,
+        max_epochs=args.max_epochs,
+        distance=C.Distance.from_any(args.distance),
+        seed_data_dir=args.seed_data_dir,
+        seed_method=C.Method.from_any(args.seed_method),
+        seed=args.seed,
+        update_mode=args.update_mode,
+        eval_batch_size=args.eval_batch_size,
+        eval_block_size=args.eval_block_size,
+    )

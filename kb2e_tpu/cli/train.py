@@ -1,0 +1,115 @@
+"""Unified training entry point.
+
+``python -m kb2e_tpu.cli.train --model transe --datadir ... --outdir ...``
+is the analogue of the reference's ``trainTransE`` / ``trainTransH`` /
+``trainTransR`` mains (``transe/bin/trainTransE.cpp:9-20``): parse args,
+echo options, train, write reference-format embedding files.  The per-model
+wrappers (:mod:`kb2e_tpu.cli.train_transe` etc.) preserve the six-binary feel.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from kb2e_tpu import constants as C
+from kb2e_tpu.cli import common
+from kb2e_tpu.config import EmbeddingConfig
+from kb2e_tpu.data import triples as data_lib
+from kb2e_tpu.io import text as text_io
+from kb2e_tpu.models import base as model_base
+from kb2e_tpu.train import loop as train_loop
+from kb2e_tpu.utils import logging as log_lib
+
+
+def run_training(model_name: str, cfg: EmbeddingConfig, metrics_jsonl=None) -> None:
+    model = model_base.get_model(model_name)
+    print(cfg.describe())
+
+    dataset = data_lib.load_dataset(cfg.data_dir)
+    ts = dataset.train
+    # Dataset count echo (common/trainer.cpp:199-200).
+    print(f"Number of Relations: {ts.n_relations}")
+    print(f"Number of Entities: {ts.n_entities}")
+
+    init_params = None
+    if model_name in ("transr", "ctransr"):
+        init_params = _maybe_warm_start(model, cfg, ts)
+
+    logger = log_lib.jsonl_logger(metrics_jsonl) if metrics_jsonl else None
+    params = train_loop.train(
+        model,
+        cfg,
+        ts,
+        init_params=init_params,
+        metrics_fn=(logger.log if logger else None),
+    )
+
+    host = {k: np.asarray(v) for k, v in params.items()}
+    weights = None
+    if model_name == "transh":
+        weights = host["norm"]
+    elif model_name in ("transr", "ctransr"):
+        weights = host["proj"]
+    text_io.write_embeddings(
+        cfg.output_dir,
+        C.Method.from_any(cfg.method),
+        host["entity"],
+        host["relation"],
+        weights=weights,
+        model_name=model_name,
+    )
+
+
+def _maybe_warm_start(model, cfg: EmbeddingConfig, ts):
+    """TransR's TransE warm start (transr/trainer.cpp:88-113).
+
+    The reference hard-fails when seed files are missing; here a missing seed
+    directory just falls back to random init with a warning (documented
+    extension — lets TransR train standalone).
+    """
+    from kb2e_tpu.models import transr as transr_lib
+    import jax
+
+    tag = C.Method.from_any(cfg.seed_method).tag
+    ent_path = os.path.join(cfg.seed_data_dir, f"{C.ENTITY_EMBEDDING_BASENAME}.{tag}")
+    rel_path = os.path.join(cfg.seed_data_dir, f"{C.RELATION_EMBEDDING_BASENAME}.{tag}")
+    key = jax.random.PRNGKey(cfg.resolved_seed() ^ 0x5EED)
+    params = model.init_params(key, ts.n_entities, ts.n_relations, cfg)
+    if not (os.path.exists(ent_path) and os.path.exists(rel_path)):
+        print(
+            f"Warning: seed files not found under '{cfg.seed_data_dir}' — "
+            "starting TransR from random init instead of a TransE warm start.",
+            file=sys.stderr,
+        )
+        return params
+    ent = text_io.read_matrix(ent_path, ts.n_entities, cfg.embedding_size)
+    rel = text_io.read_matrix(rel_path, ts.n_relations, cfg.embedding_size)
+    params = transr_lib.warm_start_params(params, ent, rel)
+    if model.name == "ctransr":
+        from kb2e_tpu.models import ctransr as ctransr_lib
+
+        centers = ctransr_lib.build_centers(
+            np.asarray(params["entity"]), ts.heads, ts.tails, ts.rels,
+            ts.n_relations, model.n_clusters, seed=cfg.resolved_seed(),
+        )
+        params = model.with_centers(params, centers)
+    return params
+
+
+def main(argv=None, model_name=None):
+    parser = common.build_parser(
+        "kb2e-train", "Train Trans* knowledge-graph embeddings on TPU"
+    )
+    if model_name is None:
+        parser.add_argument("--model", default="transe",
+                            choices=("transe", "transh", "transr", "ctransr"))
+    args = parser.parse_args(argv)
+    cfg = common.config_from_args(args)
+    run_training(model_name or args.model, cfg, metrics_jsonl=args.metrics_jsonl)
+
+
+if __name__ == "__main__":
+    main()

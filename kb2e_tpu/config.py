@@ -1,0 +1,80 @@
+"""Run configuration.
+
+``EmbeddingConfig`` mirrors the reference's 12-field ``EmbeddingArguments``
+(``common/args.h:9-28``, defaults at ``common/args.cpp:19-31``) and adds the
+TPU-native knobs (batch size policy, dtype, mesh shape, parity mode) that have
+no counterpart in the single-threaded reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+from kb2e_tpu import constants as C
+
+
+@dataclasses.dataclass
+class EmbeddingConfig:
+    # --- reference-parity fields (common/args.h:9-25) ---
+    data_dir: str = C.DEFAULT_DATA_DIR
+    output_dir: str = C.DEFAULT_OUTPUT_DIR
+    embedding_size: int = C.DEFAULT_EMBEDDING_SIZE
+    learning_rate: float = C.DEFAULT_LEARNING_RATE
+    margin: float = C.DEFAULT_MARGIN
+    method: C.Method = C.DEFAULT_METHOD
+    num_batches: int = C.DEFAULT_NUM_BATCHES
+    max_epochs: int = C.DEFAULT_MAX_EPOCHS
+    distance: C.Distance = C.DEFAULT_DISTANCE
+    seed_data_dir: str = C.DEFAULT_SEED_DATA_DIR
+    seed_method: C.Method = C.DEFAULT_SEED_METHOD
+    # Reference defaults the seed to time(NULL) (common/args.cpp:30) — runs are
+    # only reproducible when --seed is given; we keep that behaviour.
+    seed: Optional[int] = None
+
+    # --- TPU-native extensions (no reference counterpart) ---
+    # Number of device-side resampling rounds used to replace the reference's
+    # unbounded rejection loop (common/trainer.cpp:88-98).
+    corruption_resample_rounds: int = 8
+    # Compute dtype for scoring sweeps.  Parameters are always kept in f32.
+    compute_dtype: str = "float32"
+    # Entity-axis block size for the blockwise evaluation sweep.
+    eval_block_size: int = 4096
+    # Evaluation query batch (number of (triple, direction) queries scored
+    # together against all entities).
+    eval_batch_size: int = 256
+    # 'fast' = vectorized batch update (segment-sum + one projection);
+    # 'parity' = sequential lax.scan replicating the reference's per-update
+    # double-buffered semantics (transe/trainer.cpp:48-56) for allclose tests.
+    update_mode: str = "fast"
+    # Orthogonality / transR projection loop cap (reference loops unboundedly,
+    # common/utils.cpp:85-108 and transr/trainer.cpp:36-63).
+    projection_max_iters: int = 16
+    # Optional mesh axis sizes for distributed runs; None = single device.
+    data_axis: Optional[int] = None
+    model_axis: Optional[int] = None
+
+    def resolved_seed(self) -> int:
+        return int(time.time()) if self.seed is None else int(self.seed)
+
+    @property
+    def method_name(self) -> str:
+        return C.Method.from_any(self.method).tag
+
+    def replace(self, **kw) -> "EmbeddingConfig":
+        return dataclasses.replace(self, **kw)
+
+    def describe(self) -> str:
+        """Human-readable echo, analogous to EmbeddingArguments::to_string
+        (common/args.cpp:34-53)."""
+        m = C.Method.from_any(self.method).tag
+        sm = C.Method.from_any(self.seed_method).tag
+        return (
+            f"Options: [datadir: '{self.data_dir}', outdir: '{self.output_dir}', "
+            f"size: {self.embedding_size}, rate: {self.learning_rate:.6f}, "
+            f"margin: {self.margin:.6f}, method: {m}, "
+            f"batches: {self.num_batches}, epochs: {self.max_epochs}, "
+            f"distance: {int(self.distance)}, seeddatadir: '{self.seed_data_dir}', "
+            f"seedmethod: {sm}, seed: {self.resolved_seed()}]"
+        )

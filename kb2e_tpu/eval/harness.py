@@ -1,0 +1,205 @@
+"""Link-prediction evaluation harness.
+
+Reproduces ``EmbeddingEvaluation::run`` (``common/evaluation.cpp:181-251``):
+for every test triple, rank the true head and the true tail against all
+entities (self included, ranks 1-based — quirk B9), and report raw and
+filtered MeanRank and Hits@10 averaged over ``2·|test|`` corruptions.
+
+Where the reference loops relations to bound its per-relation energy cache
+(common/evaluation.cpp:194-218), this harness loops relations to amortise the
+per-relation *entity projection*: for TransH/TransR the whole entity table is
+projected once per relation (an [N,k]·[k,k] matmul on the MXU for TransR) and
+every query against that relation reuses it — the same cache idea, recast as
+dense batched compute.  TransE needs no projection and streams all queries in
+one group.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kb2e_tpu.config import EmbeddingConfig
+from kb2e_tpu.constants import Distance
+from kb2e_tpu.data.triples import Dataset
+from kb2e_tpu.eval import ranking
+from kb2e_tpu.models.base import Model, Params
+
+
+def _build_filter_lists(
+    triple_arrays: Tuple[np.ndarray, np.ndarray, np.ndarray],
+) -> Tuple[Dict[Tuple[int, int], list], Dict[Tuple[int, int], list]]:
+    """(h, r) -> known tails and (t, r) -> known heads over the filter set.
+
+    The filter set is train ∪ valid ∪ test, exactly as the reference loads all
+    three splits into its known-good map (common/evaluation.cpp:55-61).
+    """
+    h, t, r = triple_arrays
+    by_hr: Dict[Tuple[int, int], list] = {}
+    by_tr: Dict[Tuple[int, int], list] = {}
+    for i in range(h.shape[0]):
+        hi, ti, ri = int(h[i]), int(t[i]), int(r[i])
+        by_hr.setdefault((hi, ri), []).append(ti)
+        by_tr.setdefault((ti, ri), []).append(hi)
+    return by_hr, by_tr
+
+
+def _round_up_pow2(x: int, lo: int = 8) -> int:
+    n = lo
+    while n < x:
+        n *= 2
+    return n
+
+
+class EvalAccumulator:
+    """Accumulates the reference's four counters (common/evaluation.cpp:188-192)."""
+
+    def __init__(self):
+        self.raw_sum_rank = 0
+        self.filtered_sum_rank = 0
+        self.raw_hits10 = 0
+        self.filtered_hits10 = 0
+        self.n = 0
+
+    def add(self, raw_ranks: np.ndarray, filtered_ranks: np.ndarray) -> None:
+        self.raw_sum_rank += int(raw_ranks.sum())
+        self.filtered_sum_rank += int(filtered_ranks.sum())
+        self.raw_hits10 += int((raw_ranks <= 10).sum())
+        self.filtered_hits10 += int((filtered_ranks <= 10).sum())
+        self.n += int(raw_ranks.shape[0])
+
+    def metrics(self) -> Dict[str, float]:
+        n = max(self.n, 1)
+        return {
+            "raw_mean_rank": self.raw_sum_rank / n,
+            "filtered_mean_rank": self.filtered_sum_rank / n,
+            "raw_hits10": self.raw_hits10 / n,
+            "filtered_hits10": self.filtered_hits10 / n,
+            "num_corruptions": self.n,
+        }
+
+
+def evaluate(
+    model: Model,
+    params: Params,
+    dataset: Dataset,
+    cfg: EmbeddingConfig,
+    *,
+    test_triples: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
+    verbose: bool = False,
+) -> Dict[str, float]:
+    """Run filtered/raw link prediction; returns the four headline metrics."""
+    if test_triples is None:
+        test_triples = dataset.test
+    if test_triples is None or test_triples[0].size == 0:
+        raise ValueError("no test triples to evaluate")
+    th, tt, tr = (np.asarray(a, dtype=np.int64) for a in test_triples)
+
+    # Filter set = train + valid + test (common/evaluation.cpp:55-61).
+    parts = [(dataset.train.heads, dataset.train.tails, dataset.train.rels)]
+    for split in (dataset.valid, test_triples):
+        if split is not None:
+            parts.append(split)
+    filt = tuple(np.concatenate([np.asarray(p[i]) for p in parts]) for i in range(3))
+    by_hr, by_tr = _build_filter_lists(filt)
+
+    distance = model.effective_distance(Distance.from_any(cfg.distance))
+    block_size = cfg.eval_block_size
+    batch_size = cfg.eval_batch_size
+
+    # Build the query list: per test triple, corrupt-head then corrupt-tail
+    # (order matches common/evaluation.cpp:230-238; only sums matter).
+    # Each query: (relation, anchor entity, sign, true entity, filter list).
+    # corrupt-head: q = proj[t] − r, true = h, filters = heads of (t, r).
+    # corrupt-tail: q = proj[h] + r, true = t, filters = tails of (h, r).
+    n_test = th.shape[0]
+    q_rel = np.empty(2 * n_test, dtype=np.int64)
+    q_anchor = np.empty(2 * n_test, dtype=np.int64)
+    q_sign = np.empty(2 * n_test, dtype=np.float32)
+    q_true = np.empty(2 * n_test, dtype=np.int64)
+    q_filters: list = [None] * (2 * n_test)
+    for i in range(n_test):
+        hi, ti, ri = int(th[i]), int(tt[i]), int(tr[i])
+        q_rel[2 * i] = ri
+        q_anchor[2 * i] = ti
+        q_sign[2 * i] = -1.0
+        q_true[2 * i] = hi
+        q_filters[2 * i] = by_tr.get((ti, ri), [])
+        q_rel[2 * i + 1] = ri
+        q_anchor[2 * i + 1] = hi
+        q_sign[2 * i + 1] = 1.0
+        q_true[2 * i + 1] = ti
+        q_filters[2 * i + 1] = by_hr.get((hi, ri), [])
+
+    acc = EvalAccumulator()
+
+    if model.needs_projection:
+        # Group queries by relation; one projection per relation.
+        order = np.argsort(q_rel, kind="stable")
+        groups: Dict[int, np.ndarray] = {}
+        for rel_id in np.unique(q_rel):
+            groups[int(rel_id)] = order[q_rel[order] == rel_id]
+        group_iter = groups.items()
+    else:
+        group_iter = [(-1, np.arange(2 * n_test))]
+
+    entity_table = params["entity"]
+    processed = 0
+    for rel_id, idxs in group_iter:
+        if model.needs_projection:
+            proj = model.project_entities(params, jnp.int32(rel_id))
+        else:
+            proj = entity_table
+        proj_padded = ranking.pad_entities(proj, block_size)
+
+        kmax_group = _round_up_pow2(max((len(q_filters[i]) for i in idxs), default=1))
+
+        for s in range(0, idxs.shape[0], batch_size):
+            sel = idxs[s : s + batch_size]
+            b = sel.shape[0]
+            pad_b = batch_size - b
+
+            anchor = np.concatenate([q_anchor[sel], np.zeros(pad_b, np.int64)])
+            sign = np.concatenate([q_sign[sel], np.zeros(pad_b, np.float32)])
+            true = np.concatenate([q_true[sel], np.zeros(pad_b, np.int64)])
+            rels = np.concatenate([q_rel[sel], np.zeros(pad_b, np.int64)])
+            cands = np.full((batch_size, kmax_group), -1, dtype=np.int32)
+            for bi, qi in enumerate(sel):
+                fl = q_filters[qi]
+                cands[bi, : len(fl)] = fl
+
+            anchor_d = jnp.asarray(anchor, dtype=jnp.int32)
+            true_d = jnp.asarray(true, dtype=jnp.int32)
+            rv = model.relation_vector(params, jnp.asarray(rels, dtype=jnp.int32))
+            queries = proj_padded[anchor_d] + jnp.asarray(sign)[:, None] * rv
+
+            raw_r, filt_r = ranking.rank_queries(
+                proj_padded,
+                queries,
+                true_d,
+                jnp.asarray(cands),
+                distance,
+                block_size,
+            )
+            acc.add(np.asarray(raw_r)[:b], np.asarray(filt_r)[:b])
+            processed += b
+            if verbose:
+                print(f"\rProcessed {processed * 100.0 / (2 * n_test):05.2f}% ...", end="")
+    if verbose:
+        print()
+    return acc.metrics()
+
+
+def print_reference_style(metrics: Dict[str, float]) -> None:
+    """Print the reference's final two lines (common/evaluation.cpp:247-250)."""
+    print(
+        f"Raw      -- Rank: {metrics['raw_mean_rank']:f}, "
+        f"Hits@10: {metrics['raw_hits10']:f}"
+    )
+    print(
+        f"Filtered -- Rank: {metrics['filtered_mean_rank']:f}, "
+        f"Hits@10: {metrics['filtered_hits10']:f}"
+    )

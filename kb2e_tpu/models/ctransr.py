@@ -1,0 +1,237 @@
+"""CTransR: cluster-based TransR (Lin et al., AAAI'15 §"CTransR").
+
+The reference repo names CTransR as a target (README.md:93-99) but ships no
+code for it (survey §0.1), so this implementation follows the paper cited at
+README.md:125: triples of each relation are clustered into groups by their
+seed-embedding offsets (t − h); each cluster gets its own relation vector
+r_{r,c} sharing the relation's projection matrix W_r, and training adds a
+regulariser α·‖r_{r,c} − r‖² keeping cluster vectors near the relation mean.
+
+Params: entity [N,k], relation [R,k] (cluster means), relation_c [R,C,k],
+proj [R,k,k], centers [R,C,k] (k-means centers of seed offsets, used only for
+cluster assignment — not trained).
+
+Training batches carry a per-triple cluster id (assigned host-side by
+:func:`assign_clusters` / on device by :func:`assign_clusters_device`).
+Evaluation is cluster-aware: each candidate entity picks the nearest cluster
+by its offset to the query anchor, and is scored with that cluster's vector —
+see ``eval/harness.py``'s cluster-aware path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kb2e_tpu.config import EmbeddingConfig
+from kb2e_tpu.constants import Distance
+from kb2e_tpu.models import base, transr
+from kb2e_tpu.ops import distances, projections
+
+DEFAULT_NUM_CLUSTERS = 4
+DEFAULT_ALPHA = 1.0
+
+
+def kmeans_offsets(
+    offsets: np.ndarray, n_clusters: int, n_iters: int = 25, seed: int = 0
+) -> np.ndarray:
+    """Plain k-means over offset vectors; returns [n_clusters, k] centers.
+
+    Degenerate relations (fewer distinct offsets than clusters) repeat their
+    mean so every cluster id stays valid.
+    """
+    rng = np.random.default_rng(seed)
+    n = offsets.shape[0]
+    if n == 0:
+        return np.zeros((n_clusters, offsets.shape[1]), dtype=np.float32)
+    init_idx = rng.choice(n, size=min(n_clusters, n), replace=False)
+    centers = offsets[init_idx].copy()
+    if centers.shape[0] < n_clusters:
+        centers = np.concatenate(
+            [centers, np.repeat(offsets.mean(0, keepdims=True), n_clusters - centers.shape[0], 0)]
+        )
+    for _ in range(n_iters):
+        d = np.linalg.norm(offsets[:, None, :] - centers[None, :, :], axis=-1)
+        assign = d.argmin(1)
+        for c in range(n_clusters):
+            mask = assign == c
+            if mask.any():
+                centers[c] = offsets[mask].mean(0)
+    return centers.astype(np.float32)
+
+
+def build_centers(
+    seed_entity: np.ndarray,
+    heads: np.ndarray,
+    tails: np.ndarray,
+    rels: np.ndarray,
+    n_relations: int,
+    n_clusters: int = DEFAULT_NUM_CLUSTERS,
+    seed: int = 0,
+) -> np.ndarray:
+    """Per-relation k-means centers of seed offsets t − h; [R, C, k]."""
+    k = seed_entity.shape[1]
+    centers = np.zeros((n_relations, n_clusters, k), dtype=np.float32)
+    offsets_all = seed_entity[tails] - seed_entity[heads]
+    for r in range(n_relations):
+        mask = rels == r
+        centers[r] = kmeans_offsets(offsets_all[mask], n_clusters, seed=seed + r)
+    return centers
+
+
+def assign_clusters(
+    seed_entity: np.ndarray,
+    centers: np.ndarray,
+    heads: np.ndarray,
+    tails: np.ndarray,
+    rels: np.ndarray,
+) -> np.ndarray:
+    """Host-side nearest-center cluster id per triple; int32 [T]."""
+    offsets = seed_entity[tails] - seed_entity[heads]
+    c = centers[rels]  # [T, C, k]
+    d = np.linalg.norm(offsets[:, None, :] - c, axis=-1)
+    return d.argmin(1).astype(np.int32)
+
+
+def assign_clusters_device(
+    entity: jax.Array, centers_r: jax.Array, h: jax.Array, t: jax.Array
+) -> jax.Array:
+    """Device-side assignment against one relation's centers [C, k]."""
+    offsets = entity[t] - entity[h]  # [B, k]
+    d = jnp.sum(jnp.square(offsets[:, None, :] - centers_r[None, :, :]), axis=-1)
+    return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+
+class CTransR(transr.TransR):
+    name = "ctransr"
+    needs_projection = True
+    # Cluster-aware eval needs candidate-dependent relation vectors.
+    cluster_aware = True
+
+    def __init__(self, n_clusters: int = DEFAULT_NUM_CLUSTERS, alpha: float = DEFAULT_ALPHA):
+        self.n_clusters = n_clusters
+        self.alpha = alpha
+
+    def init_params(self, key, n_entities, n_relations, cfg: EmbeddingConfig) -> base.Params:
+        params = super().init_params(key, n_entities, n_relations, cfg)
+        k = cfg.embedding_size
+        rel_c = jnp.broadcast_to(
+            params["relation"][:, None, :], (n_relations, self.n_clusters, k)
+        )
+        centers = jnp.zeros((n_relations, self.n_clusters, k), dtype=jnp.float32)
+        return {**params, "relation_c": jnp.array(rel_c), "centers": centers}
+
+    def with_centers(self, params: base.Params, centers: np.ndarray) -> base.Params:
+        return {**params, "centers": jnp.asarray(centers, dtype=jnp.float32)}
+
+    def _cluster_ids(self, params, h, t, r):
+        """Nearest-center cluster for each triple (batched, mixed relations)."""
+        offsets = params["entity"][t] - params["entity"][h]  # [B, k]
+        c = params["centers"][r]  # [B, C, k]
+        d = jnp.sum(jnp.square(offsets[:, None, :] - c), axis=-1)
+        return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+    def energy(self, params, h, t, r, distance: Distance) -> jax.Array:
+        c = self._cluster_ids(params, h, t, r)
+        w = params["proj"][r]
+        hp = jnp.einsum("bj,bji->bi", params["entity"][h], w)
+        tp = jnp.einsum("bj,bji->bi", params["entity"][t], w)
+        rv = params["relation_c"][r, c]
+        return distances.residual_energy(tp - hp - rv, distance)
+
+    def batch_update(self, params, batch: base.Batch, cfg: EmbeddingConfig) -> Tuple[base.Params, jax.Array]:
+        ent, rel, rel_c, proj = (
+            params["entity"],
+            params["relation"],
+            params["relation_c"],
+            params["proj"],
+        )
+        lr = cfg.learning_rate
+        dist = self.effective_distance(cfg.distance)
+        ph, pt, r, nh, nt = batch["ph"], batch["pt"], batch["r"], batch["nh"], batch["nt"]
+
+        # Clusters are decided by the POSITIVE triple's offset; the corrupted
+        # triple scores against the same cluster vector (it corrupts the same
+        # relation instance).
+        c = self._cluster_ids(params, ph, pt, r)
+
+        w = proj[r]
+        he, te, ne_h, ne_t = ent[ph], ent[pt], ent[nh], ent[nt]
+        rv = rel_c[r, c]
+        hp = jnp.einsum("bj,bji->bi", he, w)
+        tp = jnp.einsum("bj,bji->bi", te, w)
+        np_h = jnp.einsum("bj,bji->bi", ne_h, w)
+        np_t = jnp.einsum("bj,bji->bi", ne_t, w)
+
+        res_pos = tp - hp - rv
+        res_neg = np_t - np_h - rv
+        e_pos = distances.residual_energy(res_pos, dist)
+        e_neg = distances.residual_energy(res_neg, dist)
+        viol = (e_pos + cfg.margin > e_neg) & batch["valid"]
+        loss = jnp.sum(jnp.where(viol, cfg.margin + e_pos - e_neg, 0.0))
+        m = viol.astype(res_pos.dtype)[:, None]
+
+        def xs(res):
+            x = 2.0 * res
+            if dist == Distance.L1:
+                x = jnp.where(x > 0, 1.0, -1.0)
+            return x * m
+
+        x_pos, x_neg = xs(res_pos), xs(res_neg)
+        wx_pos = jnp.einsum("bji,bi->bj", w, x_pos)
+        wx_neg = jnp.einsum("bji,bi->bj", w, x_neg)
+
+        d_w = lr * (
+            jnp.einsum("bj,bi->bji", he - te, x_pos) - jnp.einsum("bj,bi->bji", ne_h - ne_t, x_neg)
+        )
+        proj = proj.at[r].add(d_w)
+        idx = jnp.concatenate([ph, pt, nh, nt])
+        delta = jnp.concatenate([lr * wx_pos, -lr * wx_pos, -lr * wx_neg, lr * wx_neg])
+        ent = ent.at[idx].add(delta)
+
+        # Cluster vector update + α-regulariser toward the relation mean.
+        reg = 2.0 * self.alpha * (rv - rel[r]) * m
+        d_rc = lr * (x_pos - x_neg) - lr * reg
+        rel_c = rel_c.at[r, c].add(d_rc)
+        rel = rel.at[r].add(lr * reg)
+
+        ent = projections.sphere_norm(ent)
+        rel = projections.ball_norm(rel)
+        rel_c = projections.sphere_norm(rel_c)
+        proj = projections.sphere_norm(proj)
+
+        ball = jax.vmap(
+            lambda a, wm: projections.transr_ball_project(a, wm, lr, cfg.projection_max_iters)
+        )
+        corrupted = jnp.where(nh != ph, nh, nt)
+        pair_e = jnp.concatenate([ph, pt, corrupted])
+        pair_r = jnp.concatenate([r, r, r])
+        e_rows, w_rows = ent[pair_e], proj[pair_r]
+        e_new, w_new = ball(e_rows, w_rows)
+        ent = ent.at[pair_e].add(e_new - e_rows)
+        proj = proj.at[pair_r].add(w_new - w_rows)
+
+        return (
+            {"entity": ent, "relation": rel, "relation_c": rel_c, "proj": proj, "centers": params["centers"]},
+            loss,
+        )
+
+    def sequential_update(self, params, batch: base.Batch, cfg: EmbeddingConfig):
+        # CTransR has no reference binary to be numerically faithful to
+        # (the fork ships no CTransR code — survey §0.1); the vectorised path
+        # is the defining semantics.
+        return self.batch_update(params, batch, cfg)
+
+    # Cluster-aware evaluation hooks -------------------------------------
+    def cluster_vectors(self, params, rel) -> jax.Array:
+        """[C, k] cluster relation vectors for one relation."""
+        return params["relation_c"][rel]
+
+    def cluster_centers(self, params, rel) -> jax.Array:
+        return params["centers"][rel]
+
+
+MODEL = base.register(CTransR())

@@ -1,0 +1,133 @@
+"""TransE: translation scoring E(h, t, r) = dist(t − h − r).
+
+Reference semantics reproduced:
+* energy: transe/transe.cpp:10-28 (L1 = Σ|·|, L2 = Σ(·)² without sqrt).
+* init:   randn(0, 1/k, ±6/√k) then ball-norm rows (transe/trainer.cpp:21-23,
+          common/trainer.cpp:34-58).
+* closed-form gradient with the reference's factor conventions (quirk B6):
+  x = 2(t−h−r), L1 maps x to ±1 elementwise with sign(0) = −1
+  (transe/trainer.cpp:28-41); row updates r ∓= lr·x, h ∓= lr·x, t ±= lr·x
+  followed by ball-norm of the touched rows (transe/trainer.cpp:38-45).
+* double-buffered batch semantics (transe/trainer.cpp:48-56): reads come from
+  the batch-start snapshot; writes accumulate.  ``batch_update`` realises this
+  as scatter-adds + one whole-table ball-norm (idempotent on untouched rows,
+  so equivalent to norming only touched rows); ``sequential_update`` replays
+  the exact per-sample interleaving for parity tests.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kb2e_tpu.config import EmbeddingConfig
+from kb2e_tpu.constants import Distance
+from kb2e_tpu.models import base
+from kb2e_tpu.ops import distances, projections
+from kb2e_tpu.utils import prng
+
+
+def _residual_grad(res: jax.Array, distance: Distance) -> jax.Array:
+    """The reference's per-coordinate update direction x (transe/trainer.cpp:28-36)."""
+    x = 2.0 * res
+    if distance == Distance.L1:
+        x = jnp.where(x > 0, 1.0, -1.0)
+    return x
+
+
+class TransE(base.Model):
+    name = "transe"
+
+    def init_params(self, key, n_entities, n_relations, cfg: EmbeddingConfig) -> base.Params:
+        k = cfg.embedding_size
+        ke, kr = jax.random.split(key)
+        ent = prng.transe_init(ke, (n_entities, k), k)
+        rel = prng.transe_init(kr, (n_relations, k), k)
+        # prepTrain ball-norms every row after init (common/trainer.cpp:45-57).
+        return {"entity": projections.ball_norm(ent), "relation": projections.ball_norm(rel)}
+
+    def energy(self, params, h, t, r, distance: Distance) -> jax.Array:
+        res = params["entity"][t] - params["entity"][h] - params["relation"][r]
+        return distances.residual_energy(res, distance)
+
+    def batch_update(self, params, batch: base.Batch, cfg: EmbeddingConfig) -> Tuple[base.Params, jax.Array]:
+        ent, rel = params["entity"], params["relation"]
+        lr = cfg.learning_rate
+        dist = self.effective_distance(cfg.distance)
+        ph, pt, r, nh, nt = batch["ph"], batch["pt"], batch["r"], batch["nh"], batch["nt"]
+
+        rv = rel[r]
+        res_pos = ent[pt] - ent[ph] - rv
+        res_neg = ent[nt] - ent[nh] - rv
+        e_pos = distances.residual_energy(res_pos, dist)
+        e_neg = distances.residual_energy(res_neg, dist)
+
+        viol = (e_pos + cfg.margin > e_neg) & batch["valid"]
+        loss = jnp.sum(jnp.where(viol, cfg.margin + e_pos - e_neg, 0.0))
+
+        m = viol.astype(res_pos.dtype)[:, None]
+        x_pos = _residual_grad(res_pos, dist) * m
+        x_neg = _residual_grad(res_neg, dist) * m
+
+        # Positive triple uses modifier −1, corrupted +1 (transe/trainer.cpp:26).
+        rel = rel.at[r].add(lr * (x_pos - x_neg))
+        idx = jnp.concatenate([ph, pt, nh, nt])
+        delta = jnp.concatenate([lr * x_pos, -lr * x_pos, -lr * x_neg, lr * x_neg])
+        ent = ent.at[idx].add(delta)
+
+        return (
+            {"entity": projections.ball_norm(ent), "relation": projections.ball_norm(rel)},
+            loss,
+        )
+
+    def sequential_update(self, params, batch: base.Batch, cfg: EmbeddingConfig) -> Tuple[base.Params, jax.Array]:
+        snap_e, snap_r = params["entity"], params["relation"]
+        lr = cfg.learning_rate
+        dist = self.effective_distance(cfg.distance)
+
+        def step(carry, sample):
+            ent, rel, loss = carry
+            ph, pt, r, nh, nt, valid = sample
+
+            rv = snap_r[r]
+            res_pos = snap_e[pt] - snap_e[ph] - rv
+            res_neg = snap_e[nt] - snap_e[nh] - rv
+            e_pos = distances.residual_energy(res_pos, dist)
+            e_neg = distances.residual_energy(res_neg, dist)
+            viol = (e_pos + cfg.margin > e_neg) & valid
+
+            def apply(eb):
+                ent, rel = eb
+                x_pos = _residual_grad(res_pos, dist)
+                # gradientUpdate(pos, corrupted=False): r,h += lr·x; t −= lr·x,
+                # then ball-norm the three touched rows (transe/trainer.cpp:38-45).
+                rel = rel.at[r].add(lr * x_pos)
+                ent = ent.at[ph].add(lr * x_pos)
+                ent = ent.at[pt].add(-lr * x_pos)
+                rel = rel.at[r].set(projections.ball_norm(rel[r]))
+                ent = ent.at[ph].set(projections.ball_norm(ent[ph]))
+                ent = ent.at[pt].set(projections.ball_norm(ent[pt]))
+                # gradientUpdate(neg, corrupted=True).
+                x_neg = _residual_grad(res_neg, dist)
+                rel = rel.at[r].add(-lr * x_neg)
+                ent = ent.at[nh].add(-lr * x_neg)
+                ent = ent.at[nt].add(lr * x_neg)
+                rel = rel.at[r].set(projections.ball_norm(rel[r]))
+                ent = ent.at[nh].set(projections.ball_norm(ent[nh]))
+                ent = ent.at[nt].set(projections.ball_norm(ent[nt]))
+                return ent, rel
+
+            ent, rel = jax.lax.cond(viol, apply, lambda eb: eb, (ent, rel))
+            loss = loss + jnp.where(viol, cfg.margin + e_pos - e_neg, 0.0)
+            return (ent, rel, loss), None
+
+        samples = (
+            batch["ph"], batch["pt"], batch["r"], batch["nh"], batch["nt"], batch["valid"],
+        )
+        (ent, rel, loss), _ = jax.lax.scan(step, (snap_e, snap_r, jnp.float32(0.0)), samples)
+        return {"entity": ent, "relation": rel}, loss
+
+
+MODEL = base.register(TransE())

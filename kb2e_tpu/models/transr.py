@@ -1,0 +1,203 @@
+"""TransR: per-relation matrix projection scoring.
+
+E(h, t, r) = dist( t·W_r − h·W_r − r )  under L1 or L2
+(transr/transr.cpp:13-37 — note the reference's work-vector accumulation bug
+B1 is deliberately NOT reproduced: projections are computed fresh).
+
+The projection matrix table ``proj`` is [R, k, k] laid out [input-dim j,
+output-dim i] so a row projects as ``e @ W`` — matching the reference's
+``W[r][j][i]·h[j]`` contraction.
+
+Reference training semantics reproduced:
+* W initialised to identity (transr/trainer.cpp:73-86); entity/relation
+  warm-started from TransE seed files when configured, with entities
+  sphere-normed on load (transr/trainer.cpp:88-113) — see
+  :func:`warm_start_params`.
+* closed-form gradient (transr/trainer.cpp:144-172):
+  x = 2(t·W − h·W − r) (L1 → ±1);  W −= β·lr·outer(h−t, x);
+  h −= β·lr·(W x);  t += β·lr·(W x);  r −= β·lr·x.
+* constraints (transr/trainer.cpp:174-191): sphere-norm the touched e/r rows
+  and every row of W_r, then the iterative ‖e·W‖ ≤ 1 projector ``transRNorm``
+  on (h, W), (t, W) and the relation vector.  The reference's third call
+  passes ``entityVec_next_[relation]`` (bug B2); we constrain the relation
+  vector, replicating the intent.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kb2e_tpu.config import EmbeddingConfig
+from kb2e_tpu.constants import Distance
+from kb2e_tpu.models import base
+from kb2e_tpu.ops import distances, projections
+from kb2e_tpu.utils import prng
+
+
+class TransR(base.Model):
+    name = "transr"
+    needs_projection = True
+
+    def init_params(self, key, n_entities, n_relations, cfg: EmbeddingConfig) -> base.Params:
+        k = cfg.embedding_size
+        ke, kr = jax.random.split(key)
+        ent = projections.ball_norm(prng.unit_bounded_init(ke, (n_entities, k), k))
+        rel = projections.ball_norm(prng.unit_bounded_init(kr, (n_relations, k), k))
+        proj = jnp.broadcast_to(jnp.eye(k, dtype=jnp.float32), (n_relations, k, k))
+        return {"entity": ent, "relation": rel, "proj": jnp.array(proj)}
+
+    def energy(self, params, h, t, r, distance: Distance) -> jax.Array:
+        w = params["proj"][r]  # [B, k, k]
+        hp = jnp.einsum("bj,bji->bi", params["entity"][h], w)
+        tp = jnp.einsum("bj,bji->bi", params["entity"][t], w)
+        return distances.residual_energy(tp - hp - params["relation"][r], distance)
+
+    def project_entities(self, params, rel) -> jax.Array:
+        # One [N,k]·[k,k] matmul per relation — the MXU-native analogue of the
+        # reference's per-relation energy cache (common/evaluation.cpp:194-218).
+        return params["entity"] @ params["proj"][rel]
+
+    def batch_update(self, params, batch: base.Batch, cfg: EmbeddingConfig) -> Tuple[base.Params, jax.Array]:
+        ent, rel, proj = params["entity"], params["relation"], params["proj"]
+        lr = cfg.learning_rate
+        dist = self.effective_distance(cfg.distance)
+        ph, pt, r, nh, nt = batch["ph"], batch["pt"], batch["r"], batch["nh"], batch["nt"]
+
+        w = proj[r]  # [B, k, k]
+        he, te, ne_h, ne_t, rv = ent[ph], ent[pt], ent[nh], ent[nt], rel[r]
+        hp = jnp.einsum("bj,bji->bi", he, w)
+        tp = jnp.einsum("bj,bji->bi", te, w)
+        np_h = jnp.einsum("bj,bji->bi", ne_h, w)
+        np_t = jnp.einsum("bj,bji->bi", ne_t, w)
+
+        res_pos = tp - hp - rv
+        res_neg = np_t - np_h - rv
+        e_pos = distances.residual_energy(res_pos, dist)
+        e_neg = distances.residual_energy(res_neg, dist)
+        viol = (e_pos + cfg.margin > e_neg) & batch["valid"]
+        loss = jnp.sum(jnp.where(viol, cfg.margin + e_pos - e_neg, 0.0))
+        m = viol.astype(res_pos.dtype)[:, None]
+
+        def xs(res):
+            x = 2.0 * res
+            if dist == Distance.L1:
+                x = jnp.where(x > 0, 1.0, -1.0)
+            return x * m
+
+        x_pos, x_neg = xs(res_pos), xs(res_neg)
+
+        # β = −1 (positive), +1 (corrupted); transr/trainer.cpp:147-171.
+        wx_pos = jnp.einsum("bji,bi->bj", w, x_pos)
+        wx_neg = jnp.einsum("bji,bi->bj", w, x_neg)
+        d_w = lr * (
+            jnp.einsum("bj,bi->bji", he - te, x_pos) - jnp.einsum("bj,bi->bji", ne_h - ne_t, x_neg)
+        )
+        rel = rel.at[r].add(lr * (x_pos - x_neg))
+        proj = proj.at[r].add(d_w)
+        idx = jnp.concatenate([ph, pt, nh, nt])
+        delta = jnp.concatenate([lr * wx_pos, -lr * wx_pos, -lr * wx_neg, lr * wx_neg])
+        ent = ent.at[idx].add(delta)
+
+        # Constraints: sphere-norm tables and W rows (idempotent whole-table).
+        ent = projections.sphere_norm(ent)
+        rel = projections.sphere_norm(rel)
+        proj = projections.sphere_norm(proj)  # normalises last axis: W rows [j, :]
+
+        # ‖e·W‖ ≤ 1 on touched pairs + relation vectors, delta-scattered.
+        # The corrupted triple shares one entity with the positive (corruption
+        # replaces exactly one side), so the distinct touched pairs per sample
+        # are (h, r), (t, r) and (corrupted_entity, r).
+        ball = jax.vmap(
+            lambda a, wm: projections.transr_ball_project(a, wm, lr, cfg.projection_max_iters)
+        )
+        corrupted = jnp.where(nh != ph, nh, nt)
+        pair_e = jnp.concatenate([ph, pt, corrupted])
+        pair_r = jnp.concatenate([r, r, r])
+        e_rows, w_rows = ent[pair_e], proj[pair_r]
+        e_new, w_new = ball(e_rows, w_rows)
+        ent = ent.at[pair_e].add(e_new - e_rows)
+        proj = proj.at[pair_r].add(w_new - w_rows)
+
+        r_rows, wr_rows = rel[r], proj[r]
+        r_new, wr_new = ball(r_rows, wr_rows)
+        rel = rel.at[r].add(r_new - r_rows)
+        proj = proj.at[r].add(wr_new - wr_rows)
+
+        return {"entity": ent, "relation": rel, "proj": proj}, loss
+
+    def sequential_update(self, params, batch: base.Batch, cfg: EmbeddingConfig) -> Tuple[base.Params, jax.Array]:
+        snap_e, snap_r, snap_w = params["entity"], params["relation"], params["proj"]
+        lr = cfg.learning_rate
+        dist = self.effective_distance(cfg.distance)
+        cap = cfg.projection_max_iters
+
+        def gradient_update(tabs, h, t, r, beta):
+            ent, rel, proj = tabs
+            w = snap_w[r]
+            he, te, rv = snap_e[h], snap_e[t], snap_r[r]
+            x = 2.0 * (te @ w - he @ w - rv)
+            if dist == Distance.L1:
+                x = jnp.where(x > 0, 1.0, -1.0)
+            proj = proj.at[r].add(-beta * lr * jnp.outer(he - te, x))
+            wx = w @ x
+            ent = ent.at[h].add(-beta * lr * wx)
+            ent = ent.at[t].add(beta * lr * wx)
+            rel = rel.at[r].add(-beta * lr * x)
+
+            rel = rel.at[r].set(projections.sphere_norm(rel[r]))
+            ent = ent.at[h].set(projections.sphere_norm(ent[h]))
+            ent = ent.at[t].set(projections.sphere_norm(ent[t]))
+            proj = proj.at[r].set(projections.sphere_norm(proj[r]))
+
+            a, wm = projections.transr_ball_project(ent[h], proj[r], lr, cap, exact_sequential=True)
+            ent, proj = ent.at[h].set(a), proj.at[r].set(wm)
+            a, wm = projections.transr_ball_project(ent[t], proj[r], lr, cap, exact_sequential=True)
+            ent, proj = ent.at[t].set(a), proj.at[r].set(wm)
+            # Intent of transr/trainer.cpp:187 (bug B2): constrain the relation vector.
+            a, wm = projections.transr_ball_project(rel[r], proj[r], lr, cap, exact_sequential=True)
+            rel, proj = rel.at[r].set(a), proj.at[r].set(wm)
+            return ent, rel, proj
+
+        def step(carry, sample):
+            ent, rel, proj, loss = carry
+            ph, pt, r, nh, nt, valid = sample
+            w = snap_w[r]
+            hp, tp = snap_e[ph] @ w, snap_e[pt] @ w
+            nhp, ntp = snap_e[nh] @ w, snap_e[nt] @ w
+            e_pos = distances.residual_energy(tp - hp - snap_r[r], dist)
+            e_neg = distances.residual_energy(ntp - nhp - snap_r[r], dist)
+            viol = (e_pos + cfg.margin > e_neg) & valid
+
+            def apply(tabs):
+                tabs = gradient_update(tabs, ph, pt, r, -1.0)
+                tabs = gradient_update(tabs, nh, nt, r, +1.0)
+                return tabs
+
+            ent, rel, proj = jax.lax.cond(viol, apply, lambda tabs: tabs, (ent, rel, proj))
+            loss = loss + jnp.where(viol, cfg.margin + e_pos - e_neg, 0.0)
+            return (ent, rel, proj, loss), None
+
+        samples = (batch["ph"], batch["pt"], batch["r"], batch["nh"], batch["nt"], batch["valid"])
+        (ent, rel, proj, loss), _ = jax.lax.scan(
+            step, (snap_e, snap_r, snap_w, jnp.float32(0.0)), samples
+        )
+        return {"entity": ent, "relation": rel, "proj": proj}, loss
+
+
+def warm_start_params(
+    params: base.Params,
+    seed_entity: np.ndarray,
+    seed_relation: np.ndarray,
+) -> base.Params:
+    """TransE warm start (transr/trainer.cpp:88-113): entities are loaded and
+    sphere-normed; relations are loaded as-is; W stays identity."""
+    ent = projections.sphere_norm(jnp.asarray(seed_entity, dtype=jnp.float32))
+    rel = jnp.asarray(seed_relation, dtype=jnp.float32)
+    return {**params, "entity": ent, "relation": rel}
+
+
+MODEL = base.register(TransR())

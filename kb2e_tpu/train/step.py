@@ -1,0 +1,86 @@
+"""Single-device training step: sample → score → update, one jit.
+
+This is the TPU recast of the reference's hot loop ``Trainer::bfgs``
+(``common/trainer.cpp:69-107``): where the reference processes one sample at a
+time, a step here draws a whole batch on device, evaluates both energies,
+masks by margin violation (replacing the branch at common/trainer.cpp:138-146)
+and applies all updates with scatter-adds.  ``update_mode='parity'`` instead
+replays the per-sample double-buffered semantics for allclose testing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kb2e_tpu.config import EmbeddingConfig
+from kb2e_tpu.constants import Method
+from kb2e_tpu.data.triples import TripleSet
+from kb2e_tpu.models.base import Model, Params
+from kb2e_tpu.sampling import corruption
+
+
+class DeviceData(NamedTuple):
+    """Training data resident on device."""
+
+    heads: jax.Array
+    tails: jax.Array
+    rels: jax.Array
+    bern_pr_tail: jax.Array  # float32 [R]
+    sorted_h: jax.Array
+    sorted_r: jax.Array
+    sorted_t: jax.Array
+    n_entities: int  # static
+
+    @classmethod
+    def from_triple_set(cls, ts: TripleSet) -> "DeviceData":
+        return cls(
+            heads=jnp.asarray(ts.heads),
+            tails=jnp.asarray(ts.tails),
+            rels=jnp.asarray(ts.rels),
+            bern_pr_tail=jnp.asarray(ts.bern_pr_tail, dtype=jnp.float32),
+            sorted_h=jnp.asarray(ts.sorted_h),
+            sorted_r=jnp.asarray(ts.sorted_r),
+            sorted_t=jnp.asarray(ts.sorted_t),
+            n_entities=ts.n_entities,
+        )
+
+
+def make_train_step(model: Model, cfg: EmbeddingConfig, batch_size: int):
+    """Build a jitted (params, key, data) -> (params, loss) step."""
+    method = Method.from_any(cfg.method)
+    parity = cfg.update_mode == "parity"
+
+    @functools.partial(jax.jit, static_argnames=("n_entities",), donate_argnames=("params",))
+    def step(params: Params, key: jax.Array, data: DeviceData, n_entities: int) -> Tuple[Params, jax.Array]:
+        batch = corruption.sample_batch(
+            key,
+            data.heads,
+            data.tails,
+            data.rels,
+            data.bern_pr_tail,
+            data.sorted_h,
+            data.sorted_r,
+            data.sorted_t,
+            n_entities=n_entities,
+            batch_size=batch_size,
+            method=method,
+            resample_rounds=cfg.corruption_resample_rounds,
+        )
+        if parity:
+            return model.sequential_update(params, batch, cfg)
+        return model.batch_update(params, batch, cfg)
+
+    def run(params: Params, key: jax.Array, data: DeviceData):
+        return step(params, key, data, data.n_entities)
+
+    return run
+
+
+def batch_size_for(ts_num_triples: int, num_batches: int) -> int:
+    """Reference batch size: |T| / numBatches (common/trainer.cpp:70)."""
+    return max(1, ts_num_triples // num_batches)

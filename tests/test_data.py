@@ -1,0 +1,81 @@
+"""Data-layer tests: loaders, validation, bern stats, membership index."""
+
+import numpy as np
+import pytest
+
+from kb2e_tpu.data import synthetic, vocab
+from kb2e_tpu.data import triples as T
+
+
+def test_load_id_file_roundtrip(tmp_path):
+    path = tmp_path / "entity2id.txt"
+    m = {"/m/alpha": 0, "/m/beta": 1, "gamma": 2}
+    vocab.write_id_file(str(path), m)
+    loaded = vocab.load_id_file(str(path))
+    assert loaded == m
+
+
+def test_id_contract_violation_raises(tmp_path):
+    path = tmp_path / "entity2id.txt"
+    path.write_text("a\t0\nb\t2\n")  # hole at 1 (quirk B13 contract)
+    with pytest.raises(ValueError):
+        vocab.load_id_file(str(path))
+
+
+def test_triple_loader_skips_unknown_ids(tmp_path, capsys):
+    e = {"a": 0, "b": 1}
+    r = {"likes": 0}
+    p = tmp_path / "train.txt"
+    # Reference row order: head tail relation (common/loader.cpp:35).
+    p.write_text("a\tb\tlikes\nzzz\tb\tlikes\na\tb\tunknown_rel\n")
+    warnings = []
+    h, t, rel = T.load_triple_file(str(p), e, r, warn=warnings.append)
+    assert h.tolist() == [0] and t.tolist() == [1] and rel.tolist() == [0]
+    assert len(warnings) == 2
+
+
+def test_bern_probability_matches_hand_computation():
+    # Relation 0: triples (0,1),(2,1),(3,4): tails {1:2, 4:1} -> hpt = 1.5;
+    # heads {0:1, 2:1, 3:1} -> tph = 1.0. P(corrupt tail) = 1.5/2.5 = 0.6.
+    heads = np.array([0, 2, 3], np.int32)
+    tails = np.array([1, 1, 4], np.int32)
+    rels = np.zeros(3, np.int32)
+    pr = T.bern_tail_probability(heads, tails, rels, 2)
+    assert pr[0] == pytest.approx(0.6)
+    assert pr[1] == pytest.approx(0.5)  # unseen relation -> uniform
+
+
+def test_triple_set_membership_index_sorted_unique():
+    h = np.array([3, 1, 3, 1], np.int32)
+    t = np.array([0, 2, 0, 2], np.int32)  # duplicates
+    r = np.array([1, 0, 1, 0], np.int32)
+    ts = T.TripleSet.from_arrays(h, t, r, n_entities=4, n_relations=2)
+    assert ts.sorted_h.tolist() == [1, 3]
+    assert ts.num_triples == 4  # working arrays keep duplicates, index dedups
+
+
+def test_synthetic_dir_loads(tiny_dataset):
+    ds = tiny_dataset
+    assert ds.n_entities == 64 and ds.n_relations == 8
+    assert ds.train.num_triples > 0
+    assert ds.test is not None and ds.test[0].size > 0
+    # planted KG should have consistent ranges
+    assert ds.train.heads.max() < 64
+
+
+def test_membership_contains():
+    import jax.numpy as jnp
+    from kb2e_tpu.sampling import membership
+
+    h = np.array([0, 1, 5], np.int32)
+    t = np.array([2, 3, 9], np.int32)
+    r = np.array([0, 1, 1], np.int32)
+    ts = T.TripleSet.from_arrays(h, t, r, n_entities=10, n_relations=2)
+    qh = jnp.array([0, 0, 5, 5, 9], jnp.int32)
+    qr = jnp.array([0, 1, 1, 1, 1], jnp.int32)
+    qt = jnp.array([2, 2, 9, 8, 9], jnp.int32)
+    got = membership.contains(
+        jnp.asarray(ts.sorted_h), jnp.asarray(ts.sorted_r), jnp.asarray(ts.sorted_t),
+        qh, qr, qt,
+    )
+    assert got.tolist() == [True, False, True, False, False]
