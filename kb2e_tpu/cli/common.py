@@ -51,8 +51,16 @@ def build_parser(prog: str, description: str) -> argparse.ArgumentParser:
         help="fast = vectorised batch update; parity = reference-exact scan")
     add("eval-batch", dest="eval_batch_size", type=int, default=256)
     add("eval-block", dest="eval_block_size", type=int, default=4096)
+    add("eval-impl", dest="eval_impl", default="auto", choices=("auto", "xla", "pallas"),
+        help="ranking sweep implementation [auto: Pallas kernel on TPU]")
     add("metrics-jsonl", dest="metrics_jsonl", default=None,
         help="append per-epoch JSONL metrics to this path")
+    add("checkpoint-dir", dest="checkpoint_dir", default=None,
+        help="directory for periodic Orbax checkpoints")
+    add("checkpoint-every", dest="checkpoint_every", type=int, default=0,
+        help="checkpoint every N epochs (0 = never)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --checkpoint-dir")
     return p
 
 
@@ -73,4 +81,5 @@ def config_from_args(args: argparse.Namespace) -> EmbeddingConfig:
         update_mode=args.update_mode,
         eval_batch_size=args.eval_batch_size,
         eval_block_size=args.eval_block_size,
+        eval_impl=args.eval_impl,
     )

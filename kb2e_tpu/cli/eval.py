@@ -63,6 +63,9 @@ def run_eval(model_name: str, cfg: EmbeddingConfig, verbose: bool = True) -> dic
         params["norm"] = jnp.asarray(host["weights"], jnp.float32)
     elif model_name in ("transr", "ctransr"):
         params["proj"] = jnp.asarray(host["weights"], jnp.float32)
+    if model_name == "ctransr":
+        params["relation_c"] = jnp.asarray(host["relation_clusters"], jnp.float32)
+        params["centers"] = jnp.asarray(host["cluster_centers"], jnp.float32)
 
     metrics = harness.evaluate(model, params, dataset, cfg, verbose=verbose)
     harness.print_reference_style(metrics)

@@ -24,7 +24,14 @@ from kb2e_tpu.train import loop as train_loop
 from kb2e_tpu.utils import logging as log_lib
 
 
-def run_training(model_name: str, cfg: EmbeddingConfig, metrics_jsonl=None) -> None:
+def run_training(
+    model_name: str,
+    cfg: EmbeddingConfig,
+    metrics_jsonl=None,
+    checkpoint_dir=None,
+    checkpoint_every=0,
+    resume=False,
+) -> None:
     model = model_base.get_model(model_name)
     print(cfg.describe())
 
@@ -45,14 +52,20 @@ def run_training(model_name: str, cfg: EmbeddingConfig, metrics_jsonl=None) -> N
         ts,
         init_params=init_params,
         metrics_fn=(logger.log if logger else None),
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
     )
 
     host = {k: np.asarray(v) for k, v in params.items()}
     weights = None
+    extras = None
     if model_name == "transh":
         weights = host["norm"]
     elif model_name in ("transr", "ctransr"):
         weights = host["proj"]
+    if model_name == "ctransr":
+        extras = {"relation_clusters": host["relation_c"], "cluster_centers": host["centers"]}
     text_io.write_embeddings(
         cfg.output_dir,
         C.Method.from_any(cfg.method),
@@ -60,6 +73,7 @@ def run_training(model_name: str, cfg: EmbeddingConfig, metrics_jsonl=None) -> N
         host["relation"],
         weights=weights,
         model_name=model_name,
+        extras=extras,
     )
 
 
@@ -108,7 +122,14 @@ def main(argv=None, model_name=None):
                             choices=("transe", "transh", "transr", "ctransr"))
     args = parser.parse_args(argv)
     cfg = common.config_from_args(args)
-    run_training(model_name or args.model, cfg, metrics_jsonl=args.metrics_jsonl)
+    run_training(
+        model_name or args.model,
+        cfg,
+        metrics_jsonl=args.metrics_jsonl,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
+    )
 
 
 if __name__ == "__main__":

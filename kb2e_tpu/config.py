@@ -44,6 +44,9 @@ class EmbeddingConfig:
     # Evaluation query batch (number of (triple, direction) queries scored
     # together against all entities).
     eval_batch_size: int = 256
+    # Ranking sweep implementation: 'auto' (Pallas kernel on TPU, XLA
+    # elsewhere), 'xla', or 'pallas'.
+    eval_impl: str = "auto"
     # 'fast' = vectorized batch update (segment-sum + one projection);
     # 'parity' = sequential lax.scan replicating the reference's per-update
     # double-buffered semantics (transe/trainer.cpp:48-56) for allclose tests.

@@ -109,6 +109,9 @@ def evaluate(
     distance = model.effective_distance(Distance.from_any(cfg.distance))
     block_size = cfg.eval_block_size
     batch_size = cfg.eval_batch_size
+    use_pallas = cfg.eval_impl == "pallas" or (
+        cfg.eval_impl == "auto" and jax.default_backend() == "tpu"
+    )
 
     # Build the query list: per test triple, corrupt-head then corrupt-tail
     # (order matches common/evaluation.cpp:230-238; only sums matter).
@@ -135,6 +138,7 @@ def evaluate(
         q_filters[2 * i + 1] = by_hr.get((hi, ri), [])
 
     acc = EvalAccumulator()
+    pending: list = []
 
     if model.needs_projection:
         # Group queries by relation; one projection per relation.
@@ -147,6 +151,11 @@ def evaluate(
         group_iter = [(-1, np.arange(2 * n_test))]
 
     entity_table = params["entity"]
+    cluster_aware = getattr(model, "cluster_aware", False)
+    if cluster_aware:
+        from kb2e_tpu.eval import ranking_cluster
+
+        entity_padded = ranking.pad_entities(entity_table, block_size)
     processed = 0
     for rel_id, idxs in group_iter:
         if model.needs_projection:
@@ -173,21 +182,41 @@ def evaluate(
 
             anchor_d = jnp.asarray(anchor, dtype=jnp.int32)
             true_d = jnp.asarray(true, dtype=jnp.int32)
-            rv = model.relation_vector(params, jnp.asarray(rels, dtype=jnp.int32))
-            queries = proj_padded[anchor_d] + jnp.asarray(sign)[:, None] * rv
-
-            raw_r, filt_r = ranking.rank_queries(
-                proj_padded,
-                queries,
-                true_d,
-                jnp.asarray(cands),
-                distance,
-                block_size,
-            )
-            acc.add(np.asarray(raw_r)[:b], np.asarray(filt_r)[:b])
+            if cluster_aware:
+                raw_r, filt_r = ranking_cluster.rank_queries_clustered(
+                    proj_padded,
+                    entity_padded,
+                    proj_padded[anchor_d],
+                    entity_padded[anchor_d],
+                    jnp.asarray(sign),
+                    model.cluster_vectors(params, jnp.int32(rel_id)),
+                    model.cluster_centers(params, jnp.int32(rel_id)),
+                    true_d,
+                    jnp.asarray(cands),
+                    distance,
+                    block_size,
+                )
+            else:
+                rv = model.relation_vector(params, jnp.asarray(rels, dtype=jnp.int32))
+                queries = proj_padded[anchor_d] + jnp.asarray(sign)[:, None] * rv
+                rank_fn = ranking.rank_queries_pallas if use_pallas else ranking.rank_queries
+                raw_r, filt_r = rank_fn(
+                    proj_padded,
+                    queries,
+                    true_d,
+                    jnp.asarray(cands),
+                    distance,
+                    block_size,
+                )
+            # Don't sync per batch: keep results on device and drain at the
+            # end so dispatch latency (large over remote/tunneled links)
+            # overlaps with the next batch's compute.
+            pending.append((raw_r, filt_r, b))
             processed += b
             if verbose:
                 print(f"\rProcessed {processed * 100.0 / (2 * n_test):05.2f}% ...", end="")
+    for raw_r, filt_r, b in pending:
+        acc.add(np.asarray(raw_r)[:b], np.asarray(filt_r)[:b])
     if verbose:
         print()
     return acc.metrics()

@@ -61,6 +61,24 @@ def _beats(e_block: jax.Array, idx_block: jax.Array, e_true: jax.Array, true_idx
     )
 
 
+def _filtered_correction(
+    proj_padded: jax.Array,
+    queries: jax.Array,
+    true_idx: jax.Array,
+    filter_cands: jax.Array,
+    e_true: jax.Array,
+    distance: Distance,
+) -> jax.Array:
+    """# of known-good candidates ranked before the true entity (per query)."""
+    cand = filter_cands  # [B, Kmax]
+    cand_valid = (cand >= 0) & (cand != true_idx[:, None])
+    safe_cand = jnp.maximum(cand, 0)
+    cand_rows = proj_padded[safe_cand]  # [B, Kmax, k]
+    e_cand = distances.residual_energy(cand_rows - queries[:, None, :], distance)
+    cand_beats = _beats(e_cand, safe_cand, e_true, true_idx) & cand_valid
+    return jnp.sum(cand_beats, axis=1, dtype=jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("distance", "block_size"))
 def rank_queries(
     proj_padded: jax.Array,  # [N_pad, k] projected entity table (pre-padded)
@@ -90,15 +108,45 @@ def rank_queries(
         0, n_blocks, body, jnp.zeros(queries.shape[0], dtype=jnp.int32)
     )
 
-    # Filtered correction: energies of the known-good candidates.
-    cand = filter_cands  # [B, Kmax]
-    cand_valid = (cand >= 0) & (cand != true_idx[:, None])
-    safe_cand = jnp.maximum(cand, 0)
-    cand_rows = proj_padded[safe_cand]  # [B, Kmax, k]
-    e_cand = distances.residual_energy(cand_rows - queries[:, None, :], distance)
-    cand_beats = _beats(e_cand, safe_cand, e_true, true_idx) & cand_valid
-    filt_correction = jnp.sum(cand_beats, axis=1, dtype=jnp.int32)
-
+    filt_correction = _filtered_correction(
+        proj_padded, queries, true_idx, filter_cands, e_true, distance
+    )
     raw_rank = 1 + raw_count
     filtered_rank = raw_rank - filt_correction
     return raw_rank, filtered_rank
+
+
+@functools.partial(jax.jit, static_argnames=("distance", "block_size", "interpret"))
+def rank_queries_pallas(
+    proj_padded: jax.Array,
+    queries: jax.Array,
+    true_idx: jax.Array,
+    filter_cands: jax.Array,
+    distance: Distance,
+    block_size: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Pallas-kernel variant of :func:`rank_queries` (same contract).
+
+    The raw count runs as the fused VMEM-resident sweep in
+    :mod:`kb2e_tpu.ops.pallas_rank`; the filtered correction (tiny) stays in
+    XLA.  ``interpret=True`` runs the kernel in interpreter mode for CPU
+    testing.
+    """
+    from kb2e_tpu.ops import pallas_rank
+
+    e_true = distances.residual_energy(proj_padded[true_idx] - queries, distance)
+    raw_count = pallas_rank.rank_counts(
+        proj_padded.T,
+        queries.T,
+        e_true,
+        true_idx,
+        distance,
+        tile_n=block_size,
+        interpret=interpret,
+    )
+    filt_correction = _filtered_correction(
+        proj_padded, queries, true_idx, filter_cands, e_true, distance
+    )
+    raw_rank = 1 + raw_count
+    return raw_rank, raw_rank - filt_correction

@@ -1,0 +1,123 @@
+"""Cluster-aware rank sweep for CTransR.
+
+CTransR scores a pair (h, t) under relation r with the cluster vector
+r_{r,c} of the cluster nearest to the pair's entity-space offset (see
+kb2e_tpu/models/ctransr.py).  During rank-against-all evaluation the cluster
+therefore depends on the *candidate*: for corrupt-tail, candidate j has
+offset e_j − e_h; for corrupt-head, e_t − e_j.
+
+Blockwise computation without materialising [B, N, C, k]:
+  argmin_c ‖o − ce_c‖²  =  argmin_c ( −2·o·ce_c + ‖ce_c‖² ),
+with o = s·(e_j − e_a) (s = ±1 per direction), so the assignment score
+decomposes into a per-candidate term u[j,c] = e_j·ce_c (one [N,k]·[k,C]
+matmul per relation) and a per-query term v[b,c] = e_a·ce_c.  Energies are
+computed per cluster (C query vectors per query) and gathered by the
+assignment — C is small (default 4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kb2e_tpu.constants import Distance
+from kb2e_tpu.ops import distances
+
+_PAD_VALUE = 1e30
+
+
+def _assign(u_block, v, sign, ce_sq):
+    """Cluster ids [B, Nb] from u[Nb,C], v[B,C], sign [B], ce_sq [C]."""
+    s = sign[:, None, None]
+    score = -2.0 * s * u_block[None, :, :] + 2.0 * s * v[:, None, :] + ce_sq[None, None, :]
+    return jnp.argmin(score, axis=-1)  # [B, Nb]
+
+
+def _energies_by_cluster(rows, queries_c, distance):
+    """rows [Nb,k], queries_c [B,C,k] -> [B, Nb, C] energies."""
+    if distance == Distance.L2:
+        e_sq = jnp.sum(jnp.square(rows), axis=-1)  # [Nb]
+        q_sq = jnp.sum(jnp.square(queries_c), axis=-1)  # [B, C]
+        cross = jnp.einsum("bck,nk->bnc", queries_c, rows)
+        return jnp.maximum(q_sq[:, None, :] + e_sq[None, :, None] - 2.0 * cross, 0.0)
+    return jnp.sum(
+        jnp.abs(rows[None, :, None, :] - queries_c[:, None, :, :]), axis=-1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("distance", "block_size"))
+def rank_queries_clustered(
+    proj_padded: jax.Array,  # [N_pad, k] entity table projected by W_r
+    entity_padded: jax.Array,  # [N_pad, k] raw entity table (offset space)
+    anchor_proj: jax.Array,  # [B, k] projected anchor rows (P_h or P_t)
+    anchor_raw: jax.Array,  # [B, k] raw anchor rows (e_h or e_t)
+    sign: jax.Array,  # [B] +1 corrupt-tail, −1 corrupt-head
+    cluster_vecs: jax.Array,  # [C, k] r_{r,c}
+    centers: jax.Array,  # [C, k] offset-space cluster centers
+    true_idx: jax.Array,  # int32 [B]
+    filter_cands: jax.Array,  # int32 [B, Kmax]
+    distance: Distance,
+    block_size: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Raw + filtered 1-based ranks, cluster-routed energies."""
+    n_pad, k = proj_padded.shape
+    n_blocks = n_pad // block_size
+    b = anchor_proj.shape[0]
+    c = cluster_vecs.shape[0]
+
+    # Per-query, per-cluster query vectors: q = P_a + s·r_c.
+    queries_c = anchor_proj[:, None, :] + sign[:, None, None] * cluster_vecs[None, :, :]
+    v = anchor_raw @ centers.T  # [B, C]
+    ce_sq = jnp.sum(jnp.square(centers), axis=-1)  # [C]
+    u_all = entity_padded @ centers.T  # [N_pad, C]
+
+    def energy_of(idx):
+        """Cluster-routed energies of candidate rows ``idx`` ([B] or [B,K])."""
+        rows_p = proj_padded[idx]  # [..., k]
+        rows_e = entity_padded[idx]
+        u = jnp.einsum("...k,ck->...c", rows_e, centers)  # [..., C]
+        if idx.ndim == 1:
+            s = sign[:, None]
+            vv = v
+            anchor = anchor_proj
+        else:
+            s = sign[:, None, None]
+            vv = v[:, None, :]
+            anchor = anchor_proj[:, None, :]
+        score = -2.0 * s * u + 2.0 * s * vv + ce_sq
+        cid = jnp.argmin(score, axis=-1)  # [B] or [B, K]
+        q = anchor + jnp.squeeze(s, -1)[..., None] * cluster_vecs[cid]
+        return distances.residual_energy(rows_p - q, distance)
+
+    e_true = energy_of(true_idx)  # [B]
+
+    def body(blk, count):
+        start = blk * block_size
+        rows_p = jax.lax.dynamic_slice(proj_padded, (start, 0), (block_size, k))
+        rows_e = jax.lax.dynamic_slice(entity_padded, (start, 0), (block_size, k))
+        u_block = jax.lax.dynamic_slice(u_all, (start, 0), (block_size, c))
+        cid = _assign(u_block, v, sign, ce_sq)  # [B, Nb]
+        e_all = _energies_by_cluster(rows_p, queries_c, distance)  # [B, Nb, C]
+        en = jnp.take_along_axis(e_all, cid[:, :, None], axis=-1)[:, :, 0]
+        idx_block = start + jax.lax.broadcasted_iota(jnp.int32, (1, block_size), 1)
+        not_self = idx_block != true_idx[:, None]
+        beats = not_self & (
+            (en < e_true[:, None]) | ((en == e_true[:, None]) & (idx_block < true_idx[:, None]))
+        )
+        return count + jnp.sum(beats, axis=1, dtype=jnp.int32)
+
+    raw_count = jax.lax.fori_loop(0, n_blocks, body, jnp.zeros(b, dtype=jnp.int32))
+
+    cand = filter_cands
+    cand_valid = (cand >= 0) & (cand != true_idx[:, None])
+    safe = jnp.maximum(cand, 0)
+    e_cand = energy_of(safe)  # [B, Kmax]
+    beats = (
+        (e_cand < e_true[:, None])
+        | ((e_cand == e_true[:, None]) & (safe < true_idx[:, None]))
+    ) & cand_valid
+    raw_rank = 1 + raw_count
+    return raw_rank, raw_rank - jnp.sum(beats, axis=1, dtype=jnp.int32)

@@ -63,8 +63,14 @@ def write_embeddings(
     relation: np.ndarray,
     weights: Optional[np.ndarray] = None,
     model_name: str = "",
+    extras: Optional[Dict[str, np.ndarray]] = None,
 ) -> None:
-    """Write entity/relation(/weights) files exactly like the reference."""
+    """Write entity/relation(/weights) files exactly like the reference.
+
+    ``extras`` (e.g. CTransR's cluster vectors/centers, which have no
+    reference counterpart) are written as ``<name>.<tag>`` in the same row
+    format, with their shapes recorded in the sidecar.
+    """
     os.makedirs(out_dir, exist_ok=True)
     tag = Method.from_any(method).tag
     write_matrix(os.path.join(out_dir, f"{C.RELATION_EMBEDDING_BASENAME}.{tag}"), relation)
@@ -83,6 +89,12 @@ def write_embeddings(
         # R·k lines of k values (transr/trainer.cpp:128-142).
         flat = w.reshape(-1, w.shape[-1])
         write_matrix(os.path.join(out_dir, f"{C.WEIGHT_EMBEDDING_BASENAME}.{tag}"), flat)
+    if extras:
+        meta["extras"] = {}
+        for name, arr in extras.items():
+            arr = np.asarray(arr, dtype=np.float64)
+            meta["extras"][name] = list(arr.shape)
+            write_matrix(os.path.join(out_dir, f"{name}.{tag}"), arr.reshape(-1, arr.shape[-1]))
     with open(_sidecar_path(out_dir), "w", encoding="utf-8") as f:
         json.dump(meta, f, indent=1)
 
@@ -139,6 +151,13 @@ def read_embeddings(
             weights_shape[-1],
         )
         out["weights"] = flat.reshape(weights_shape)
+    if meta is not None:
+        for name, shape in meta.get("extras", {}).items():
+            rows = 1
+            for d in shape[:-1]:
+                rows *= d
+            flat = read_matrix(os.path.join(out_dir, f"{name}.{tag}"), rows, shape[-1])
+            out[name] = flat.reshape(shape)
     return out
 
 

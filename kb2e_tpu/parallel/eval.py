@@ -14,7 +14,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from kb2e_tpu.constants import Distance
@@ -65,7 +65,7 @@ def make_sharded_rank_fn(mesh: Mesh, distance: Distance, block_size: int):
             mesh=mesh,
             in_specs=(P("model", None), P(), P(), P()),
             out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )(proj_padded, queries, e_true, true_idx)
 
     return ranked

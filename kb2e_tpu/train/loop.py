@@ -30,8 +30,16 @@ def train(
     init_params: Optional[Params] = None,
     metrics_fn: Optional[Callable[[dict], None]] = None,
     verbose: bool = True,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> Params:
-    """Train embeddings; returns the final params pytree (on device)."""
+    """Train embeddings; returns the final params pytree (on device).
+
+    ``checkpoint_dir``/``checkpoint_every`` enable periodic Orbax checkpoints
+    (survey §5.4's mid-training resume — the reference only writes once at
+    the end); ``resume=True`` restarts from the latest checkpoint found.
+    """
     seed = cfg.resolved_seed()
     key = jax.random.PRNGKey(seed)
 
@@ -41,6 +49,20 @@ def train(
     else:
         params = init_params
 
+    start_epoch = 0
+    if resume and checkpoint_dir:
+        from kb2e_tpu.io import checkpoint as ckpt_lib
+
+        latest = ckpt_lib.latest_in(checkpoint_dir)
+        if latest is not None:
+            params, start_epoch = ckpt_lib.restore(latest)
+            params = {k: jax.numpy.asarray(v) for k, v in params.items()}
+            if verbose:
+                print(f"Resumed from {latest} at epoch {start_epoch}")
+            # Replay the key stream to the resume point for determinism.
+            for _ in range(start_epoch * cfg.num_batches):
+                key, _ = jax.random.split(key)
+
     data = step_lib.DeviceData.from_triple_set(triples)
     batch_size = step_lib.batch_size_for(triples.num_triples, cfg.num_batches)
     run_step = step_lib.make_train_step(model, cfg, batch_size)
@@ -48,7 +70,7 @@ def train(
     logger = log_lib.MetricsLogger(metrics_fn)
     total_samples = batch_size * cfg.num_batches
 
-    for epoch in range(cfg.max_epochs):
+    for epoch in range(start_epoch, cfg.max_epochs):
         t0 = time.perf_counter()
         loss = jnp.float32(0.0)
         for batch_idx in range(cfg.num_batches):
@@ -69,5 +91,12 @@ def train(
                 "batch_size": batch_size,
             }
         )
+        if checkpoint_dir and checkpoint_every and (epoch + 1) % checkpoint_every == 0:
+            from kb2e_tpu.io import checkpoint as ckpt_lib
+            import os
+
+            ckpt_lib.save(
+                os.path.join(checkpoint_dir, f"ckpt_{epoch + 1}"), params, step=epoch + 1
+            )
 
     return params
