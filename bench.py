@@ -36,6 +36,10 @@ MEASURE_STEPS = 50
 def main() -> None:
     import jax
 
+    from kb2e_tpu.utils import runtime
+
+    runtime.enable_compilation_cache()
+
     from kb2e_tpu.config import EmbeddingConfig
     from kb2e_tpu.constants import Distance, Method
     from kb2e_tpu.data.synthetic import random_kg
@@ -66,13 +70,15 @@ def main() -> None:
     for _ in range(WARMUP_STEPS):
         key, sk = jax.random.split(key)
         params, loss = run_step(params, sk, data)
-    jax.block_until_ready(loss)
+    float(loss)  # value fetch: block_until_ready under-reports on some
+    # remote backends (lazy terminal execution) — fetching the value is the
+    # only sync that provably waits for the dependency chain.
 
     t0 = time.perf_counter()
     for _ in range(MEASURE_STEPS):
         key, sk = jax.random.split(key)
         params, loss = run_step(params, sk, data)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
 
     triples_per_s = batch_size * MEASURE_STEPS / dt

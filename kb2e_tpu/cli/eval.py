@@ -73,6 +73,9 @@ def run_eval(model_name: str, cfg: EmbeddingConfig, verbose: bool = True) -> dic
 
 
 def main(argv=None, model_name=None):
+    from kb2e_tpu.utils import runtime
+
+    runtime.enable_compilation_cache()
     parser = common.build_parser("kb2e-eval", "Evaluate Trans* embeddings (link prediction)")
     if model_name is None:
         parser.add_argument("--model", default="transe",

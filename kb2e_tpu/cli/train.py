@@ -114,6 +114,9 @@ def _maybe_warm_start(model, cfg: EmbeddingConfig, ts):
 
 
 def main(argv=None, model_name=None):
+    from kb2e_tpu.utils import runtime
+
+    runtime.enable_compilation_cache()
     parser = common.build_parser(
         "kb2e-train", "Train Trans* knowledge-graph embeddings on TPU"
     )

@@ -136,6 +136,11 @@ class TripleSet:
     sorted_h: np.ndarray  # int32 [U]
     sorted_r: np.ndarray  # int32 [U]
     sorted_t: np.ndarray  # int32 [U]
+    # Fast-path membership index (kb2e_tpu/sampling/cuckoo.py); None when
+    # h*R + r overflows int32 and the binary-search fallback is used.
+    cuckoo_table: "np.ndarray | None" = None  # int32 [2*M, 2]
+    cuckoo_m: int = 0
+    cuckoo_salt: int = 0
 
     @property
     def num_triples(self) -> int:
@@ -178,6 +183,16 @@ class TripleSet:
             sh, sr, st = sh[keep], sr[keep], st[keep]
 
         pr = bern_tail_probability(heads, tails, rels, n_relations)
+
+        cuckoo_table, cuckoo_m, cuckoo_salt = None, 0, 0
+        try:
+            from kb2e_tpu.sampling import cuckoo as cuckoo_lib
+
+            idx = cuckoo_lib.build(sh, sr, st, n_relations)
+            cuckoo_table, cuckoo_m, cuckoo_salt = idx.table, idx.m, idx.salt
+        except OverflowError:
+            pass  # binary-search fallback for graphs with N*R >= 2^31
+
         return cls(
             heads=heads,
             tails=tails,
@@ -188,6 +203,9 @@ class TripleSet:
             sorted_h=sh,
             sorted_r=sr,
             sorted_t=st,
+            cuckoo_table=cuckoo_table,
+            cuckoo_m=cuckoo_m,
+            cuckoo_salt=cuckoo_salt,
         )
 
 

@@ -44,6 +44,13 @@ class Batch(dict):
     """
 
 
+jax.tree_util.register_pytree_node(
+    Batch,
+    lambda b: (tuple(b[k] for k in sorted(b)), tuple(sorted(b))),
+    lambda keys, vals: Batch(zip(keys, vals)),
+)
+
+
 class Model(abc.ABC):
     name: str
     # TransH hard-codes L1 and ignores --distance (survey quirk B5).

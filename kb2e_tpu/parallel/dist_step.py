@@ -61,6 +61,10 @@ def make_distributed_train_step(
             batch_size=batch_size,
             method=method,
             resample_rounds=cfg.corruption_resample_rounds,
+            cuckoo_table=data.cuckoo_table,
+            cuckoo_m=data.cuckoo_m,
+            cuckoo_salt=data.cuckoo_salt,
+            n_relations=data.n_relations,
         )
         # Pin the sampled batch to the data axis so scoring is data-parallel.
         batch = Batch(

@@ -23,14 +23,14 @@ identical decisions.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from kb2e_tpu.constants import Method
 from kb2e_tpu.models.base import Batch
-from kb2e_tpu.sampling import membership
+from kb2e_tpu.sampling import cuckoo, membership
 
 
 def sample_batch(
@@ -39,17 +39,29 @@ def sample_batch(
     tails: jax.Array,
     rels: jax.Array,
     bern_pr_tail: jax.Array,  # float32 [R]
-    sorted_h: jax.Array,  # membership index (lexicographically sorted triples)
+    sorted_h: jax.Array,  # binary-search membership index (fallback path)
     sorted_r: jax.Array,
     sorted_t: jax.Array,
     n_entities: int,
     batch_size: int,
     method: Method,
     resample_rounds: int = 8,
+    cuckoo_table: Optional[jax.Array] = None,  # [2*M, 2] fast-path index
+    cuckoo_m: int = 0,
+    cuckoo_salt: int = 0,
+    n_relations: int = 0,
 ) -> Batch:
-    """Draw one training batch: positives + certified-negative corruptions."""
+    """Draw one training batch: positives + certified-negative corruptions.
+
+    All ``resample_rounds`` candidate entities are drawn UP FRONT and their
+    membership tests evaluated together (picking the first non-member per
+    sample — distributionally identical to sequential rejection with the same
+    try budget).  With the cuckoo index that is ONE fused gather for the whole
+    batch; the sequential-gather binary search only remains as the fallback
+    for graphs where (h·R + r) overflows int32.
+    """
     n_triples = heads.shape[0]
-    k_i, k_j, k_coin, k_rounds = jax.random.split(key, 4)
+    k_i, k_coin, k_cands = jax.random.split(key, 3)
 
     i = jax.random.randint(k_i, (batch_size,), 0, n_triples, dtype=jnp.int32)
     ph, pt, r = heads[i], tails[i], rels[i]
@@ -60,26 +72,29 @@ def sample_batch(
         p_tail = jnp.full((batch_size,), 0.5, dtype=jnp.float32)
     corrupt_tail = jax.random.uniform(k_coin, (batch_size,)) < p_tail
 
-    j = jax.random.randint(k_j, (batch_size,), 0, n_entities, dtype=jnp.int32)
+    n_cands = max(1, resample_rounds)
+    cands = jax.random.randint(
+        k_cands, (batch_size, n_cands), 0, n_entities, dtype=jnp.int32
+    )
+    qh = jnp.where(corrupt_tail[:, None], ph[:, None], cands)
+    qt = jnp.where(corrupt_tail[:, None], cands, pt[:, None])
+    qr = jnp.broadcast_to(r[:, None], (batch_size, n_cands))
 
-    def is_known(j):
-        qh = jnp.where(corrupt_tail, ph, j)
-        qt = jnp.where(corrupt_tail, j, pt)
-        return membership.contains(sorted_h, sorted_r, sorted_t, qh, r, qt)
+    if cuckoo_table is not None:
+        bad = cuckoo.contains(
+            cuckoo_table, cuckoo_m, cuckoo_salt, n_relations, qh, qr, qt
+        )
+    else:
+        bad = membership.contains(sorted_h, sorted_r, sorted_t, qh, qr, qt)
 
-    def round_body(round_idx, carry):
-        j, bad = carry
-        k_round = jax.random.fold_in(k_rounds, round_idx)
-        fresh = jax.random.randint(k_round, (batch_size,), 0, n_entities, dtype=jnp.int32)
-        j = jnp.where(bad, fresh, j)
-        return j, is_known(j)
-
-    bad = is_known(j)
-    j, bad = jax.lax.fori_loop(0, resample_rounds, round_body, (j, bad))
+    ok = ~bad
+    first = jnp.argmax(ok, axis=1)  # first certified negative (0 if none)
+    valid = jnp.any(ok, axis=1)
+    j = jnp.take_along_axis(cands, first[:, None], axis=1)[:, 0]
 
     nh = jnp.where(corrupt_tail, ph, j)
     nt = jnp.where(corrupt_tail, j, pt)
-    return Batch(ph=ph, pt=pt, r=r, nh=nh, nt=nt, valid=~bad)
+    return Batch(ph=ph, pt=pt, r=r, nh=nh, nt=nt, valid=valid)
 
 
 def batch_from_streams(

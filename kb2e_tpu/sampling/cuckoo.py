@@ -1,0 +1,150 @@
+"""Cuckoo-hash membership index for known triples.
+
+The lexicographic binary search (kb2e_tpu/sampling/membership.py) is exact
+but costs ~log2(T) sequential dependent gathers per probe — gather latency
+dominates the whole training step on TPU.  This index answers the same
+membership queries with TWO independent probes (classic 2-table cuckoo
+hashing), and both probes for a whole batch are fused into ONE gather.
+
+Keys are (g, t) pairs with g = h·R + r packed into int32 (valid while
+N·R < 2^31 — holds for FB15k/FB40k-scale graphs; larger graphs fall back to
+the binary search).  Tables are built host-side with random-walk insertion;
+a failed build rehashes with fresh salts and, if needed, a larger table.
+
+Layout: one flat int32 array of shape [2·M, 2] — row (tbl·M + slot) holds
+(g, t) of the resident key, or (-1, -1) when empty.  Device-side lookup
+computes both slots, gathers both rows in one ``take``, and compares.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EMPTY = -1
+# Distinct odd multipliers per table (Knuth-style multiplicative hashing).
+_MULTS_G = (0x9E3779B1, 0x85EBCA77)
+_MULTS_T = (0xC2B2AE3D, 0x27D4EB2F)
+
+
+def _hash(g: np.ndarray, t: np.ndarray, salt: int, table: int, m: int):
+    """Slot index in [0, m); identical arithmetic in NumPy and jnp (uint32)."""
+    h = (
+        g.astype(np.uint32) * np.uint32(_MULTS_G[table])
+        + t.astype(np.uint32) * np.uint32(_MULTS_T[table])
+        + np.uint32(salt)
+    )
+    h ^= h >> np.uint32(15)
+    h *= np.uint32(0x2C1B3C6D)
+    h ^= h >> np.uint32(12)
+    return (h % np.uint32(m)).astype(np.int32)
+
+
+def _hash_jnp(g: jax.Array, t: jax.Array, salt: int, table: int, m: int) -> jax.Array:
+    h = (
+        g.astype(jnp.uint32) * jnp.uint32(_MULTS_G[table])
+        + t.astype(jnp.uint32) * jnp.uint32(_MULTS_T[table])
+        + jnp.uint32(salt)
+    )
+    h ^= h >> jnp.uint32(15)
+    h *= jnp.uint32(0x2C1B3C6D)
+    h ^= h >> jnp.uint32(12)
+    return (h % jnp.uint32(m)).astype(jnp.int32)
+
+
+@dataclasses.dataclass
+class CuckooIndex:
+    table: np.ndarray  # int32 [2*M, 2] rows of (g, t); -1 = empty
+    m: int
+    salt: int
+    n_relations: int  # for g = h*R + r packing
+
+    @property
+    def flat(self) -> np.ndarray:
+        return self.table
+
+
+def build(
+    heads: np.ndarray,
+    rels: np.ndarray,
+    tails: np.ndarray,
+    n_relations: int,
+    *,
+    seed: int = 0,
+    max_kicks: int = 500,
+) -> "CuckooIndex":
+    """Build the index from (deduplicated) triples.  Raises OverflowError if
+    g = h·R + r doesn't fit int32 (caller falls back to binary search)."""
+    g64 = heads.astype(np.int64) * n_relations + rels.astype(np.int64)
+    if g64.size and g64.max() >= 2**31:
+        raise OverflowError("N*R exceeds int32 packing range")
+    g_all = g64.astype(np.int32)
+    t_all = tails.astype(np.int32)
+    n = g_all.shape[0]
+
+    rng = np.random.default_rng(seed)
+    m = 1
+    while m < max(8, int(n * 1.3)):
+        m *= 2
+
+    for attempt in range(16):
+        salt = int(rng.integers(0, 2**31))
+        # Vectorised hashing up front: per-key global slots for both tables;
+        # the insertion loop then stores key INDICES and never re-hashes.
+        with np.errstate(over="ignore"):
+            slots = np.stack(
+                [
+                    _hash(g_all, t_all, salt, 0, m).astype(np.int64),
+                    _hash(g_all, t_all, salt, 1, m).astype(np.int64) + m,
+                ],
+                axis=1,
+            )
+        occupant = np.full(2 * m, _EMPTY, dtype=np.int64)  # key index per slot
+        ok = True
+        for i in range(n):
+            key, tbl = i, 0
+            for _ in range(max_kicks):
+                slot = slots[key, tbl]
+                resident = occupant[slot]
+                occupant[slot] = key
+                if resident == _EMPTY:
+                    break
+                # continue with the evicted key in its other table
+                # (table-1 slots are offset by +m, so the two never collide)
+                key = resident
+                tbl = 1 if slots[key, 0] == slot else 0
+            else:
+                ok = False
+                break
+        if ok:
+            table = np.full((2 * m, 2), _EMPTY, dtype=np.int32)
+            filled = occupant != _EMPTY
+            table[filled, 0] = g_all[occupant[filled]]
+            table[filled, 1] = t_all[occupant[filled]]
+            return CuckooIndex(table=table, m=m, salt=salt, n_relations=n_relations)
+        if attempt % 4 == 3:
+            m *= 2  # rare: grow and retry
+    raise RuntimeError("cuckoo build failed after 16 attempts")
+
+
+def contains(
+    table: jax.Array,  # int32 [2*M, 2]
+    m: int,
+    salt: int,
+    n_relations: int,
+    qh: jax.Array,
+    qr: jax.Array,
+    qt: jax.Array,
+) -> jax.Array:
+    """Vectorized membership over any query shape; ONE fused gather."""
+    g = qh * n_relations + qr
+    s0 = _hash_jnp(g, qt, salt, 0, m)
+    s1 = _hash_jnp(g, qt, salt, 1, m) + m
+    slots = jnp.stack([s0, s1], axis=-1)  # [..., 2]
+    rows = jnp.take(table, slots, axis=0)  # [..., 2, 2] — one gather
+    match = (rows[..., 0] == g[..., None]) & (rows[..., 1] == qt[..., None])
+    return jnp.any(match, axis=-1)

@@ -34,6 +34,10 @@ class DeviceData(NamedTuple):
     sorted_h: jax.Array
     sorted_r: jax.Array
     sorted_t: jax.Array
+    cuckoo_table: "jax.Array | None"  # [2*M, 2] or None (fallback)
+    cuckoo_m: jax.Array  # int32 scalar
+    cuckoo_salt: jax.Array  # int32 scalar
+    n_relations: jax.Array  # int32 scalar (for (h, r) key packing)
     n_entities: int  # static
 
     @classmethod
@@ -46,6 +50,10 @@ class DeviceData(NamedTuple):
             sorted_h=jnp.asarray(ts.sorted_h),
             sorted_r=jnp.asarray(ts.sorted_r),
             sorted_t=jnp.asarray(ts.sorted_t),
+            cuckoo_table=(None if ts.cuckoo_table is None else jnp.asarray(ts.cuckoo_table)),
+            cuckoo_m=jnp.int32(ts.cuckoo_m),
+            cuckoo_salt=jnp.int32(ts.cuckoo_salt),
+            n_relations=jnp.int32(ts.n_relations),
             n_entities=ts.n_entities,
         )
 
@@ -70,6 +78,10 @@ def make_train_step(model: Model, cfg: EmbeddingConfig, batch_size: int):
             batch_size=batch_size,
             method=method,
             resample_rounds=cfg.corruption_resample_rounds,
+            cuckoo_table=data.cuckoo_table,
+            cuckoo_m=data.cuckoo_m,
+            cuckoo_salt=data.cuckoo_salt,
+            n_relations=data.n_relations,
         )
         if parity:
             return model.sequential_update(params, batch, cfg)
