@@ -29,8 +29,8 @@ N_RELATIONS = 1_345
 N_TRAIN = 483_142
 EMBEDDING_SIZE = 100
 NUM_BATCHES = 100  # reference default => batch ≈ 4831
-WARMUP_STEPS = 5
-MEASURE_STEPS = 50
+WARMUP_EPOCHS = 1
+MEASURE_EPOCHS = 3
 
 
 def main() -> None:
@@ -65,23 +65,24 @@ def main() -> None:
 
     data = step_lib.DeviceData.from_triple_set(ts)
     batch_size = step_lib.batch_size_for(ts.num_triples, cfg.num_batches)
-    run_step = step_lib.make_train_step(model, cfg, batch_size)
+    # One launch per epoch of NUM_BATCHES batches (the production path).
+    run_epoch = step_lib.make_epoch_runner(model, cfg, batch_size, NUM_BATCHES)
 
-    for _ in range(WARMUP_STEPS):
+    for _ in range(WARMUP_EPOCHS):
         key, sk = jax.random.split(key)
-        params, loss = run_step(params, sk, data)
+        params, loss = run_epoch(params, sk, data)
     float(loss)  # value fetch: block_until_ready under-reports on some
     # remote backends (lazy terminal execution) — fetching the value is the
     # only sync that provably waits for the dependency chain.
 
     t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
+    for _ in range(MEASURE_EPOCHS):
         key, sk = jax.random.split(key)
-        params, loss = run_step(params, sk, data)
+        params, loss = run_epoch(params, sk, data)
     float(loss)
     dt = time.perf_counter() - t0
 
-    triples_per_s = batch_size * MEASURE_STEPS / dt
+    triples_per_s = batch_size * NUM_BATCHES * MEASURE_EPOCHS / dt
     print(
         json.dumps(
             {

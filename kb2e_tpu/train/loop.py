@@ -59,24 +59,36 @@ def train(
             params = {k: jax.numpy.asarray(v) for k, v in params.items()}
             if verbose:
                 print(f"Resumed from {latest} at epoch {start_epoch}")
-            # Replay the key stream to the resume point for determinism.
-            for _ in range(start_epoch * cfg.num_batches):
+            # Replay the key stream to the resume point for determinism
+            # (fast mode consumes one split per epoch, parity one per batch).
+            splits_per_epoch = 1 if cfg.update_mode == "fast" else cfg.num_batches
+            for _ in range(start_epoch * splits_per_epoch):
                 key, _ = jax.random.split(key)
 
     data = step_lib.DeviceData.from_triple_set(triples)
     batch_size = step_lib.batch_size_for(triples.num_triples, cfg.num_batches)
-    run_step = step_lib.make_train_step(model, cfg, batch_size)
+    fused_epoch = cfg.update_mode == "fast"
+    if fused_epoch:
+        # Whole epoch in one launch (amortises dispatch overhead); one key
+        # split per epoch, split again inside for the batches.
+        run_epoch = step_lib.make_epoch_runner(model, cfg, batch_size, cfg.num_batches)
+    else:
+        run_step = step_lib.make_train_step(model, cfg, batch_size)
 
     logger = log_lib.MetricsLogger(metrics_fn)
     total_samples = batch_size * cfg.num_batches
 
     for epoch in range(start_epoch, cfg.max_epochs):
         t0 = time.perf_counter()
-        loss = jnp.float32(0.0)
-        for batch_idx in range(cfg.num_batches):
+        if fused_epoch:
             key, sk = jax.random.split(key)
-            params, batch_loss = run_step(params, sk, data)
-            loss = loss + batch_loss
+            params, loss = run_epoch(params, sk, data)
+        else:
+            loss = jnp.float32(0.0)
+            for batch_idx in range(cfg.num_batches):
+                key, sk = jax.random.split(key)
+                params, batch_loss = run_step(params, sk, data)
+                loss = loss + batch_loss
         loss_val = float(loss)  # syncs the epoch
         dt = time.perf_counter() - t0
         if verbose:

@@ -20,7 +20,7 @@ import numpy as np
 from kb2e_tpu.config import EmbeddingConfig
 from kb2e_tpu.constants import Method
 from kb2e_tpu.data.triples import TripleSet
-from kb2e_tpu.models.base import Model, Params
+from kb2e_tpu.models.base import Batch, Model, Params
 from kb2e_tpu.sampling import corruption
 
 
@@ -96,3 +96,54 @@ def make_train_step(model: Model, cfg: EmbeddingConfig, batch_size: int):
 def batch_size_for(ts_num_triples: int, num_batches: int) -> int:
     """Reference batch size: |T| / numBatches (common/trainer.cpp:70)."""
     return max(1, ts_num_triples // num_batches)
+
+
+def make_epoch_runner(model: Model, cfg: EmbeddingConfig, batch_size: int, num_batches: int):
+    """Build a jitted runner executing a WHOLE epoch (num_batches steps) in
+    one launch via ``lax.scan`` — the reference's epoch loop
+    (common/trainer.cpp:72-103) fused into a single XLA program.
+
+    One launch per epoch amortises per-dispatch overhead (measured ~1.5 ms on
+    tunneled runtimes — comparable to the whole step's compute) and lets XLA
+    schedule across batch boundaries.  Returns (params, epoch_loss).
+    """
+    method = Method.from_any(cfg.method)
+
+    @functools.partial(jax.jit, static_argnames=("n_entities",), donate_argnames=("params",))
+    def epoch(params: Params, key: jax.Array, data: DeviceData, n_entities: int):
+        # Pre-sample EVERY batch of the epoch in one block: sampling is
+        # independent of the evolving parameters, and one [num_batches*B]
+        # gather is bandwidth-bound where per-batch [B] gathers inside the
+        # scan are latency-bound (measured ~5x difference on the epoch).
+        big = corruption.sample_batch(
+            key,
+            data.heads,
+            data.tails,
+            data.rels,
+            data.bern_pr_tail,
+            data.sorted_h,
+            data.sorted_r,
+            data.sorted_t,
+            n_entities=n_entities,
+            batch_size=num_batches * batch_size,
+            method=method,
+            resample_rounds=cfg.corruption_resample_rounds,
+            cuckoo_table=data.cuckoo_table,
+            cuckoo_m=data.cuckoo_m,
+            cuckoo_salt=data.cuckoo_salt,
+            n_relations=data.n_relations,
+        )
+        batches = Batch(
+            {k: v.reshape(num_batches, batch_size, *v.shape[1:]) for k, v in big.items()}
+        )
+
+        def body(params, batch):
+            return model.batch_update(params, batch, cfg)
+
+        params, losses = jax.lax.scan(body, params, batches)
+        return params, losses.sum()
+
+    def run(params: Params, key: jax.Array, data: DeviceData):
+        return epoch(params, key, data, data.n_entities)
+
+    return run
