@@ -151,6 +151,7 @@ def evaluate(
         group_iter = [(-1, np.arange(2 * n_test))]
 
     entity_table = params["entity"]
+    rel_table = params["relation"]
     cluster_aware = getattr(model, "cluster_aware", False)
     if cluster_aware:
         from kb2e_tpu.eval import ranking_cluster
@@ -166,6 +167,12 @@ def evaluate(
 
         kmax_group = _round_up_pow2(max((len(q_filters[i]) for i in idxs), default=1))
 
+        # Candidate lists padded ONCE per group (not per batch).
+        group_cands = np.full((idxs.shape[0], kmax_group), -1, dtype=np.int32)
+        for bi, qi in enumerate(idxs):
+            fl = q_filters[qi]
+            group_cands[bi, : len(fl)] = fl
+
         for s in range(0, idxs.shape[0], batch_size):
             sel = idxs[s : s + batch_size]
             b = sel.shape[0]
@@ -175,10 +182,9 @@ def evaluate(
             sign = np.concatenate([q_sign[sel], np.zeros(pad_b, np.float32)])
             true = np.concatenate([q_true[sel], np.zeros(pad_b, np.int64)])
             rels = np.concatenate([q_rel[sel], np.zeros(pad_b, np.int64)])
-            cands = np.full((batch_size, kmax_group), -1, dtype=np.int32)
-            for bi, qi in enumerate(sel):
-                fl = q_filters[qi]
-                cands[bi, : len(fl)] = fl
+            cands = np.concatenate(
+                [group_cands[s : s + b], np.full((pad_b, kmax_group), -1, np.int32)]
+            )
 
             anchor_d = jnp.asarray(anchor, dtype=jnp.int32)
             true_d = jnp.asarray(true, dtype=jnp.int32)
@@ -197,16 +203,18 @@ def evaluate(
                     block_size,
                 )
             else:
-                rv = model.relation_vector(params, jnp.asarray(rels, dtype=jnp.int32))
-                queries = proj_padded[anchor_d] + jnp.asarray(sign)[:, None] * rv
-                rank_fn = ranking.rank_queries_pallas if use_pallas else ranking.rank_queries
-                raw_r, filt_r = rank_fn(
+                # Single fused dispatch: query construction + rank.
+                raw_r, filt_r = ranking.rank_anchor_queries(
                     proj_padded,
-                    queries,
+                    rel_table,
+                    anchor_d,
+                    jnp.asarray(sign),
+                    jnp.asarray(rels, dtype=jnp.int32),
                     true_d,
                     jnp.asarray(cands),
                     distance,
                     block_size,
+                    use_pallas=use_pallas,
                 )
             # Don't sync per batch: keep results on device and drain at the
             # end so dispatch latency (large over remote/tunneled links)

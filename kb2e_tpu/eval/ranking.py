@@ -116,6 +116,34 @@ def rank_queries(
     return raw_rank, filtered_rank
 
 
+@functools.partial(
+    jax.jit, static_argnames=("distance", "block_size", "use_pallas", "interpret")
+)
+def rank_anchor_queries(
+    proj_padded: jax.Array,  # [N_pad, k]
+    rel_table: jax.Array,  # [R, k] relation vectors (projected space)
+    anchor_idx: jax.Array,  # int32 [B] entity anchor per query
+    sign: jax.Array,  # float32 [B] (+1 corrupt-tail, −1 corrupt-head)
+    rels: jax.Array,  # int32 [B]
+    true_idx: jax.Array,  # int32 [B]
+    filter_cands: jax.Array,  # int32 [B, Kmax]
+    distance: Distance,
+    block_size: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """One-dispatch variant: builds q = proj[anchor] ± r inside the jit and
+    ranks — the eval harness's hot call (eager per-batch query construction
+    is dispatch-latency-bound on remote backends)."""
+    queries = proj_padded[anchor_idx] + sign[:, None] * rel_table[rels]
+    if use_pallas:
+        return rank_queries_pallas(
+            proj_padded, queries, true_idx, filter_cands, distance, block_size,
+            interpret=interpret,
+        )
+    return rank_queries(proj_padded, queries, true_idx, filter_cands, distance, block_size)
+
+
 @functools.partial(jax.jit, static_argnames=("distance", "block_size", "interpret"))
 def rank_queries_pallas(
     proj_padded: jax.Array,
