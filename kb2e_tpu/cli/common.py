@@ -53,6 +53,10 @@ def build_parser(prog: str, description: str) -> argparse.ArgumentParser:
     add("eval-block", dest="eval_block_size", type=int, default=4096)
     add("eval-impl", dest="eval_impl", default="auto", choices=("auto", "xla", "pallas"),
         help="ranking sweep implementation [auto: Pallas kernel on TPU]")
+    add("data-axis", dest="data_axis", type=int, default=None,
+        help="mesh data-parallel axis size (default: single device)")
+    add("model-axis", dest="model_axis", type=int, default=None,
+        help="mesh model-parallel axis size (entity-table sharding)")
     add("metrics-jsonl", dest="metrics_jsonl", default=None,
         help="append per-epoch JSONL metrics to this path")
     add("checkpoint-dir", dest="checkpoint_dir", default=None,
@@ -82,4 +86,6 @@ def config_from_args(args: argparse.Namespace) -> EmbeddingConfig:
         eval_batch_size=args.eval_batch_size,
         eval_block_size=args.eval_block_size,
         eval_impl=args.eval_impl,
+        data_axis=args.data_axis,
+        model_axis=args.model_axis,
     )

@@ -39,8 +39,6 @@ class EmbeddingConfig:
     # first certified negative wins; miss probability is (deg/N)^rounds
     # (~1e-16 on FB15k-scale graphs at 4) and misses are masked from the loss.
     corruption_resample_rounds: int = 4
-    # Compute dtype for scoring sweeps.  Parameters are always kept in f32.
-    compute_dtype: str = "float32"
     # Entity-axis block size for the blockwise evaluation sweep.
     eval_block_size: int = 4096
     # Evaluation query batch (number of (triple, direction) queries scored

@@ -67,12 +67,27 @@ def train(
 
     data = step_lib.DeviceData.from_triple_set(triples)
     batch_size = step_lib.batch_size_for(triples.num_triples, cfg.num_batches)
+
+    mesh = None
+    if cfg.data_axis or cfg.model_axis:
+        from kb2e_tpu.parallel import dist_step, mesh as mesh_lib, sharding as shard_lib
+
+        mesh = mesh_lib.make_mesh(cfg.data_axis, cfg.model_axis)
+        # Round the batch down to a multiple of the data axis.
+        batch_size -= batch_size % mesh.shape["data"]
+        params = shard_lib.place_params(mesh, params)
+        data = dist_step.replicate_data(mesh, data)
+
     fused_epoch = cfg.update_mode == "fast"
     if fused_epoch:
         # Whole epoch in one launch (amortises dispatch overhead); one key
         # split per epoch, split again inside for the batches.
-        run_epoch = step_lib.make_epoch_runner(model, cfg, batch_size, cfg.num_batches)
+        run_epoch = step_lib.make_epoch_runner(
+            model, cfg, batch_size, cfg.num_batches, mesh=mesh
+        )
     else:
+        if mesh is not None:
+            raise NotImplementedError("parity mode runs single-device only")
         run_step = step_lib.make_train_step(model, cfg, batch_size)
 
     logger = log_lib.MetricsLogger(metrics_fn)

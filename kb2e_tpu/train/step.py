@@ -98,7 +98,13 @@ def batch_size_for(ts_num_triples: int, num_batches: int) -> int:
     return max(1, ts_num_triples // num_batches)
 
 
-def make_epoch_runner(model: Model, cfg: EmbeddingConfig, batch_size: int, num_batches: int):
+def make_epoch_runner(
+    model: Model,
+    cfg: EmbeddingConfig,
+    batch_size: int,
+    num_batches: int,
+    mesh=None,
+):
     """Build a jitted runner executing a WHOLE epoch (num_batches steps) in
     one launch via ``lax.scan`` — the reference's epoch loop
     (common/trainer.cpp:72-103) fused into a single XLA program.
@@ -106,8 +112,39 @@ def make_epoch_runner(model: Model, cfg: EmbeddingConfig, batch_size: int, num_b
     One launch per epoch amortises per-dispatch overhead (measured ~1.5 ms on
     tunneled runtimes — comparable to the whole step's compute) and lets XLA
     schedule across batch boundaries.  Returns (params, epoch_loss).
+
+    With ``mesh`` set, sharding constraints pin each batch to the ``data``
+    axis and the parameters to their canonical PartitionSpecs
+    (kb2e_tpu/parallel/sharding.py) — GSPMD partitions the whole epoch
+    program across the mesh.
     """
     method = Method.from_any(cfg.method)
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+
+        from kb2e_tpu.parallel import sharding as shard_lib
+
+        if batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by data axis {mesh.shape['data']}"
+            )
+        batch_sharding = NamedSharding(mesh, shard_lib.BATCH_SPEC)
+
+        def constrain_batch(b: Batch) -> Batch:
+            return Batch(
+                {k: jax.lax.with_sharding_constraint(v, batch_sharding) for k, v in b.items()}
+            )
+
+        def constrain_params(p: Params) -> Params:
+            return {
+                k: jax.lax.with_sharding_constraint(
+                    v, NamedSharding(mesh, shard_lib.PARAM_SPECS[k])
+                )
+                for k, v in p.items()
+            }
+    else:
+        constrain_batch = lambda b: b  # noqa: E731
+        constrain_params = lambda p: p  # noqa: E731
 
     @functools.partial(jax.jit, static_argnames=("n_entities",), donate_argnames=("params",))
     def epoch(params: Params, key: jax.Array, data: DeviceData, n_entities: int):
@@ -138,7 +175,8 @@ def make_epoch_runner(model: Model, cfg: EmbeddingConfig, batch_size: int, num_b
         )
 
         def body(params, batch):
-            return model.batch_update(params, batch, cfg)
+            params, loss = model.batch_update(params, constrain_batch(batch), cfg)
+            return constrain_params(params), loss
 
         params, losses = jax.lax.scan(body, params, batches)
         return params, losses.sum()

@@ -84,3 +84,31 @@ def test_sharded_rank_matches_local():
         )
         np.testing.assert_array_equal(np.asarray(raw_l), np.asarray(raw_s))
         np.testing.assert_array_equal(np.asarray(filt_l), np.asarray(filt_s))
+
+
+def test_mesh_fused_epoch_matches_single_device(tiny_ts):
+    """The mesh-aware whole-epoch runner == the single-device one."""
+    from kb2e_tpu.parallel import dist_step as dist_lib
+
+    cfg = EmbeddingConfig(embedding_size=K, learning_rate=0.02, margin=1.0,
+                          method=Method.BERN, distance=Distance.L1, seed=0)
+    model = get_model("transe")
+    params0 = model.init_params(jax.random.PRNGKey(1), N_ENT, N_REL, cfg)
+    host0 = {k: np.asarray(v) for k, v in params0.items()}
+    key = jax.random.PRNGKey(5)
+    batch_size, num_batches = 32, 4
+
+    data = step_lib.DeviceData.from_triple_set(tiny_ts)
+    single = step_lib.make_epoch_runner(model, cfg, batch_size, num_batches)
+    p_single, loss_single = single({k: jnp.asarray(v) for k, v in host0.items()}, key, data)
+
+    mesh = mesh_lib.make_mesh(2, 4)
+    dataD = dist_lib.replicate_data(mesh, step_lib.DeviceData.from_triple_set(tiny_ts))
+    paramsD = sharding.place_params(mesh, {k: jnp.asarray(v) for k, v in host0.items()})
+    dist = step_lib.make_epoch_runner(model, cfg, batch_size, num_batches, mesh=mesh)
+    p_dist, loss_dist = dist(paramsD, key, dataD)
+
+    assert float(loss_single) == pytest.approx(float(loss_dist), rel=1e-5)
+    for k in p_single:
+        np.testing.assert_allclose(
+            np.asarray(p_single[k]), np.asarray(p_dist[k]), atol=2e-6)
