@@ -90,8 +90,14 @@ def evaluate(
     *,
     test_triples: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
     verbose: bool = False,
+    mesh=None,
 ) -> Dict[str, float]:
-    """Run filtered/raw link prediction; returns the four headline metrics."""
+    """Run filtered/raw link prediction; returns the four headline metrics.
+
+    With ``mesh`` set, the candidate (entity) axis of each sweep is sharded
+    over the ``model`` mesh axis and exact global ranks are reduced with one
+    psum (survey §5.7) — the path for entity tables beyond one chip's HBM.
+    """
     if test_triples is None:
         test_triples = dataset.test
     if test_triples is None or test_triples[0].size == 0:
@@ -153,6 +159,14 @@ def evaluate(
     entity_table = params["entity"]
     rel_table = params["relation"]
     cluster_aware = getattr(model, "cluster_aware", False)
+    sharded_rank_fn = None
+    if mesh is not None and not cluster_aware:
+        from kb2e_tpu.parallel import eval as par_eval
+
+        sharded_rank_fn = par_eval.make_sharded_rank_fn(mesh, distance, block_size)
+        model_sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("model", None)
+        )
     if cluster_aware:
         from kb2e_tpu.eval import ranking_cluster
 
@@ -163,7 +177,12 @@ def evaluate(
             proj = model.project_entities(params, jnp.int32(rel_id))
         else:
             proj = entity_table
-        proj_padded = ranking.pad_entities(proj, block_size)
+        if sharded_rank_fn is not None:
+            # Each model-axis shard must hold a whole number of blocks.
+            proj_padded = ranking.pad_entities(proj, block_size * mesh.shape["model"])
+            proj_padded = jax.device_put(proj_padded, model_sharding)
+        else:
+            proj_padded = ranking.pad_entities(proj, block_size)
 
         kmax_group = _round_up_pow2(max((len(q_filters[i]) for i in idxs), default=1))
 
@@ -201,6 +220,21 @@ def evaluate(
                     jnp.asarray(cands),
                     distance,
                     block_size,
+                )
+            elif sharded_rank_fn is not None:
+                from kb2e_tpu.parallel import eval as par_eval
+
+                rels_d = jnp.asarray(rels, dtype=jnp.int32)
+                queries = proj_padded[anchor_d] + jnp.asarray(sign)[:, None] * rel_table[rels_d]
+                raw_r, filt_r = par_eval.sharded_rank_queries(
+                    mesh,
+                    proj_padded,
+                    queries,
+                    true_d,
+                    jnp.asarray(cands),
+                    distance,
+                    block_size,
+                    rank_fn=sharded_rank_fn,
                 )
             else:
                 # Single fused dispatch: query construction + rank.

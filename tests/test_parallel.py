@@ -112,3 +112,21 @@ def test_mesh_fused_epoch_matches_single_device(tiny_ts):
     for k in p_single:
         np.testing.assert_allclose(
             np.asarray(p_single[k]), np.asarray(p_dist[k]), atol=2e-6)
+
+
+def test_harness_sharded_eval_matches_local(tiny_dataset):
+    """evaluate(mesh=...) must reproduce the single-device metrics."""
+    from kb2e_tpu.eval import harness
+
+    cfg = EmbeddingConfig(embedding_size=16, eval_block_size=8, eval_batch_size=64,
+                          eval_impl="xla")
+    rng = np.random.default_rng(2)
+    params = {
+        "entity": jnp.asarray(rng.normal(size=(tiny_dataset.n_entities, 16)).astype(np.float32)),
+        "relation": jnp.asarray(rng.normal(size=(tiny_dataset.n_relations, 16)).astype(np.float32)),
+    }
+    model = get_model("transe")
+    local = harness.evaluate(model, params, tiny_dataset, cfg)
+    mesh = mesh_lib.make_mesh(2, 4)
+    sharded = harness.evaluate(model, params, tiny_dataset, cfg, mesh=mesh)
+    assert local == sharded
