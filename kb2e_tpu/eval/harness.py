@@ -192,10 +192,15 @@ def evaluate(
             fl = q_filters[qi]
             group_cands[bi, : len(fl)] = fl
 
-        for s in range(0, idxs.shape[0], batch_size):
-            sel = idxs[s : s + batch_size]
+        # One fixed batch size for all groups: padded queries cost only
+        # (parallel) compute while every distinct batch shape costs a fresh
+        # XLA compile — a bad trade wherever compiles are expensive.
+        group_batch = batch_size
+
+        for s in range(0, idxs.shape[0], group_batch):
+            sel = idxs[s : s + group_batch]
             b = sel.shape[0]
-            pad_b = batch_size - b
+            pad_b = group_batch - b
 
             anchor = np.concatenate([q_anchor[sel], np.zeros(pad_b, np.int64)])
             sign = np.concatenate([q_sign[sel], np.zeros(pad_b, np.float32)])
