@@ -65,6 +65,8 @@ def build_parser(prog: str, description: str) -> argparse.ArgumentParser:
         help="checkpoint every N epochs (0 = never)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --checkpoint-dir")
+    add("eval-every", dest="eval_every", type=int, default=0,
+        help="evaluate link prediction on the valid split every N epochs")
     return p
 
 

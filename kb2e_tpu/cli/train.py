@@ -31,11 +31,14 @@ def run_training(
     checkpoint_dir=None,
     checkpoint_every=0,
     resume=False,
+    eval_every=0,
 ) -> None:
     model = model_base.get_model(model_name)
     print(cfg.describe())
 
-    dataset = data_lib.load_dataset(cfg.data_dir)
+    # Load the valid split too when periodic evaluation is requested.
+    splits = ("train", "valid", "test") if eval_every else ("train",)
+    dataset = data_lib.load_dataset(cfg.data_dir, splits=splits)
     ts = dataset.train
     # Dataset count echo (common/trainer.cpp:199-200).
     print(f"Number of Relations: {ts.n_relations}")
@@ -55,6 +58,8 @@ def run_training(
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
         resume=resume,
+        eval_every=eval_every,
+        eval_fn=(_make_valid_eval(model, cfg, dataset) if eval_every else None),
     )
 
     host = {k: np.asarray(v) for k, v in params.items()}
@@ -75,6 +80,20 @@ def run_training(
         model_name=model_name,
         extras=extras,
     )
+
+
+def _make_valid_eval(model, cfg: EmbeddingConfig, dataset):
+    """Periodic link-prediction evaluation on the VALID split (a production
+    observability feature with no reference counterpart)."""
+    from kb2e_tpu.eval import harness
+
+    if dataset.valid is None or dataset.valid[0].size == 0:
+        return None
+
+    def eval_fn(params):
+        return harness.evaluate(model, params, dataset, cfg, test_triples=dataset.valid)
+
+    return eval_fn
 
 
 def _maybe_warm_start(model, cfg: EmbeddingConfig, ts):
@@ -132,6 +151,7 @@ def main(argv=None, model_name=None):
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
+        eval_every=args.eval_every,
     )
 
 

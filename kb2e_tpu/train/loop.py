@@ -33,6 +33,8 @@ def train(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    eval_every: int = 0,
+    eval_fn: Optional[Callable[[Params], dict]] = None,
 ) -> Params:
     """Train embeddings; returns the final params pytree (on device).
 
@@ -125,5 +127,14 @@ def train(
             ckpt_lib.save(
                 os.path.join(checkpoint_dir, f"ckpt_{epoch + 1}"), params, step=epoch + 1
             )
+        if eval_fn is not None and eval_every and (epoch + 1) % eval_every == 0:
+            val = eval_fn(params)
+            if verbose:
+                print(
+                    f"[valid @ epoch {epoch}] filtered MR "
+                    f"{val.get('filtered_mean_rank', float('nan')):.1f}, "
+                    f"filtered Hits@10 {val.get('filtered_hits10', float('nan')):.3f}"
+                )
+            logger.log({"epoch": epoch, **{f"valid_{k}": v for k, v in val.items()}})
 
     return params
