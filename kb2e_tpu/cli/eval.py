@@ -69,6 +69,7 @@ def run_eval(model_name: str, cfg: EmbeddingConfig, verbose: bool = True) -> dic
 
     metrics = harness.evaluate(model, params, dataset, cfg, verbose=verbose)
     harness.print_reference_style(metrics)
+    harness.print_extended(metrics)
     return metrics
 
 

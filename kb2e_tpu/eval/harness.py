@@ -55,31 +55,46 @@ def _round_up_pow2(x: int, lo: int = 8) -> int:
 
 
 class EvalAccumulator:
-    """Accumulates the reference's four counters (common/evaluation.cpp:188-192)."""
+    """Accumulates the reference's four counters (common/evaluation.cpp:188-192)
+    plus the standard extended KGE metrics (MRR, Hits@1/3) the reference never
+    computed — free here since ranks are already materialised per query."""
+
+    _HITS_KS = (1, 3, 10)
 
     def __init__(self):
         self.raw_sum_rank = 0
         self.filtered_sum_rank = 0
-        self.raw_hits10 = 0
-        self.filtered_hits10 = 0
+        self.raw_sum_recip = 0.0
+        self.filtered_sum_recip = 0.0
+        self.raw_hits = {k: 0 for k in self._HITS_KS}
+        self.filtered_hits = {k: 0 for k in self._HITS_KS}
         self.n = 0
 
     def add(self, raw_ranks: np.ndarray, filtered_ranks: np.ndarray) -> None:
         self.raw_sum_rank += int(raw_ranks.sum())
         self.filtered_sum_rank += int(filtered_ranks.sum())
-        self.raw_hits10 += int((raw_ranks <= 10).sum())
-        self.filtered_hits10 += int((filtered_ranks <= 10).sum())
+        self.raw_sum_recip += float((1.0 / raw_ranks.astype(np.float64)).sum())
+        self.filtered_sum_recip += float((1.0 / filtered_ranks.astype(np.float64)).sum())
+        for k in self._HITS_KS:
+            self.raw_hits[k] += int((raw_ranks <= k).sum())
+            self.filtered_hits[k] += int((filtered_ranks <= k).sum())
         self.n += int(raw_ranks.shape[0])
 
     def metrics(self) -> Dict[str, float]:
         n = max(self.n, 1)
-        return {
+        out = {
             "raw_mean_rank": self.raw_sum_rank / n,
             "filtered_mean_rank": self.filtered_sum_rank / n,
-            "raw_hits10": self.raw_hits10 / n,
-            "filtered_hits10": self.filtered_hits10 / n,
+            "raw_hits10": self.raw_hits[10] / n,
+            "filtered_hits10": self.filtered_hits[10] / n,
+            "raw_mrr": self.raw_sum_recip / n,
+            "filtered_mrr": self.filtered_sum_recip / n,
             "num_corruptions": self.n,
         }
+        for k in self._HITS_KS[:-1]:
+            out[f"raw_hits{k}"] = self.raw_hits[k] / n
+            out[f"filtered_hits{k}"] = self.filtered_hits[k] / n
+        return out
 
 
 def evaluate(
@@ -279,3 +294,17 @@ def print_reference_style(metrics: Dict[str, float]) -> None:
         f"Filtered -- Rank: {metrics['filtered_mean_rank']:f}, "
         f"Hits@10: {metrics['filtered_hits10']:f}"
     )
+
+
+def print_extended(metrics: Dict[str, float]) -> None:
+    """Extended metrics beyond the reference's surface (MRR, Hits@1/3).
+
+    Printed AFTER the two reference-format lines so byte-level comparisons
+    against the reference binaries' output remain line-for-line valid.
+    """
+    for label, pre in (("Raw", "raw"), ("Filtered", "filtered")):
+        print(
+            f"{label} extended -- MRR: {metrics[f'{pre}_mrr']:.6f}, "
+            f"Hits@1: {metrics[f'{pre}_hits1']:.6f}, "
+            f"Hits@3: {metrics[f'{pre}_hits3']:.6f}"
+        )

@@ -97,6 +97,8 @@ def test_harness_end_to_end_matches_bruteforce(tiny_dataset):
     known = set(zip(fh.tolist(), fr.tolist(), ft.tolist()))
 
     raw_sum = filt_sum = raw_hits = filt_hits = 0
+    raw_recip = filt_recip = 0.0
+    raw_hits1 = filt_hits1 = raw_hits3 = filt_hits3 = 0
     for i in range(th.shape[0]):
         h, t, r = int(th[i]), int(tt[i]), int(tr[i])
         for corrupt_head in (True, False):
@@ -113,9 +115,21 @@ def test_harness_end_to_end_matches_bruteforce(tiny_dataset):
             filt_sum += filt
             raw_hits += raw <= 10
             filt_hits += filt <= 10
+            raw_recip += 1.0 / raw
+            filt_recip += 1.0 / filt
+            raw_hits1 += raw <= 1
+            filt_hits1 += filt <= 1
+            raw_hits3 += raw <= 3
+            filt_hits3 += filt <= 3
 
     n = 2 * th.shape[0]
     assert metrics["raw_mean_rank"] == pytest.approx(raw_sum / n)
     assert metrics["filtered_mean_rank"] == pytest.approx(filt_sum / n)
     assert metrics["raw_hits10"] == pytest.approx(raw_hits / n)
     assert metrics["filtered_hits10"] == pytest.approx(filt_hits / n)
+    assert metrics["raw_mrr"] == pytest.approx(raw_recip / n)
+    assert metrics["filtered_mrr"] == pytest.approx(filt_recip / n)
+    assert metrics["raw_hits1"] == pytest.approx(raw_hits1 / n)
+    assert metrics["filtered_hits1"] == pytest.approx(filt_hits1 / n)
+    assert metrics["raw_hits3"] == pytest.approx(raw_hits3 / n)
+    assert metrics["filtered_hits3"] == pytest.approx(filt_hits3 / n)
