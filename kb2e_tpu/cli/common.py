@@ -67,6 +67,23 @@ def build_parser(prog: str, description: str) -> argparse.ArgumentParser:
                    help="resume from the latest checkpoint in --checkpoint-dir")
     add("eval-every", dest="eval_every", type=int, default=0,
         help="evaluate link prediction on the valid split every N epochs")
+
+    # PTransE path-modelling flags (no reference counterpart; the fork's
+    # README reports PTransE numbers but ships no code).
+    add("path-comp", dest="path_composition", default="add",
+        choices=("add", "mul", "rnn"), help="relation-path composition [add]")
+    add("path-weight", dest="path_weight", type=float, default=1.0,
+        help="weight of the path loss term [1.0]")
+    add("path-margin", dest="path_margin", type=float, default=1.0,
+        help="margin of the relation-corruption path loss [1.0]")
+    add("max-paths", dest="max_paths", type=int, default=8,
+        help="paths kept per (h, t) pair [8]")
+    add("path-length", dest="path_length", type=int, default=2,
+        help="maximum path length in hops (2-step / 3-step) [2]")
+    add("path-min-conf", dest="path_min_conf", type=float, default=0.01,
+        help="minimum normalised PCRA reliability [0.01]")
+    add("path-max-branch", dest="path_max_branch", type=int, default=0,
+        help="skip (node, relation) fan-outs above this during extraction [0 = off]")
     return p
 
 
@@ -90,4 +107,11 @@ def config_from_args(args: argparse.Namespace) -> EmbeddingConfig:
         eval_impl=args.eval_impl,
         data_axis=args.data_axis,
         model_axis=args.model_axis,
+        path_composition=args.path_composition,
+        path_weight=args.path_weight,
+        path_margin=args.path_margin,
+        max_paths=args.max_paths,
+        path_length=args.path_length,
+        path_min_conf=args.path_min_conf,
+        path_max_branch=args.path_max_branch,
     )

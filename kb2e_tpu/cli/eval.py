@@ -80,7 +80,7 @@ def main(argv=None, model_name=None):
     parser = common.build_parser("kb2e-eval", "Evaluate Trans* embeddings (link prediction)")
     if model_name is None:
         parser.add_argument("--model", default="transe",
-                            choices=("transe", "transh", "transr", "ctransr"))
+                            choices=("transe", "transh", "transr", "ctransr", "ptranse"))
     args = parser.parse_args(argv)
     cfg = common.config_from_args(args)
     run_eval(model_name or args.model, cfg)

@@ -45,8 +45,26 @@ def run_training(
     print(f"Number of Entities: {ts.n_entities}")
 
     init_params = None
-    if model_name in ("transr", "ctransr"):
+    if model_name in ("transr", "ctransr", "ptranse"):
         init_params = _maybe_warm_start(model, cfg, ts)
+
+    path_store = None
+    if model_name == "ptranse":
+        from kb2e_tpu.data import paths as paths_lib
+
+        import time as _time
+
+        t0 = _time.perf_counter()
+        path_store = paths_lib.build_path_store(
+            ts.heads, ts.tails, ts.rels, ts.n_relations,
+            max_len=cfg.path_length, min_conf=cfg.path_min_conf,
+            max_paths=cfg.max_paths, max_branch=cfg.path_max_branch,
+        )
+        print(
+            f"PCRA paths: {path_store.coverage() * 100:.1f}% of triples have "
+            f"≥1 path (≤{cfg.path_length} hops, top {cfg.max_paths}; "
+            f"{_time.perf_counter() - t0:.1f}s)"
+        )
 
     logger = log_lib.jsonl_logger(metrics_jsonl) if metrics_jsonl else None
     params = train_loop.train(
@@ -60,6 +78,7 @@ def run_training(
         resume=resume,
         eval_every=eval_every,
         eval_fn=(_make_valid_eval(model, cfg, dataset) if eval_every else None),
+        path_store=path_store,
     )
 
     host = {k: np.asarray(v) for k, v in params.items()}
@@ -71,6 +90,10 @@ def run_training(
         weights = host["proj"]
     if model_name == "ctransr":
         extras = {"relation_clusters": host["relation_c"], "cluster_centers": host["centers"]}
+    if model_name == "ptranse":
+        extras = {"relation_inv": host["relation_inv"]}
+        if "comp_w" in host:
+            extras["comp_w"] = host["comp_w"]
     text_io.write_embeddings(
         cfg.output_dir,
         C.Method.from_any(cfg.method),
@@ -97,11 +120,12 @@ def _make_valid_eval(model, cfg: EmbeddingConfig, dataset):
 
 
 def _maybe_warm_start(model, cfg: EmbeddingConfig, ts):
-    """TransR's TransE warm start (transr/trainer.cpp:88-113).
+    """TransR's TransE warm start (transr/trainer.cpp:88-113); PTransE uses
+    the same seed-file chain (the paper initialises PTransE from TransE).
 
     The reference hard-fails when seed files are missing; here a missing seed
     directory just falls back to random init with a warning (documented
-    extension — lets TransR train standalone).
+    extension — lets the model train standalone).
     """
     from kb2e_tpu.models import transr as transr_lib
     import jax
@@ -114,12 +138,16 @@ def _maybe_warm_start(model, cfg: EmbeddingConfig, ts):
     if not (os.path.exists(ent_path) and os.path.exists(rel_path)):
         print(
             f"Warning: seed files not found under '{cfg.seed_data_dir}' — "
-            "starting TransR from random init instead of a TransE warm start.",
+            f"starting {model.name} from random init instead of a TransE warm start.",
             file=sys.stderr,
         )
         return params
     ent = text_io.read_matrix(ent_path, ts.n_entities, cfg.embedding_size)
     rel = text_io.read_matrix(rel_path, ts.n_relations, cfg.embedding_size)
+    if model.name == "ptranse":
+        from kb2e_tpu.models import ptranse as ptranse_lib
+
+        return ptranse_lib.warm_start_params(params, ent, rel)
     params = transr_lib.warm_start_params(params, ent, rel)
     if model.name == "ctransr":
         from kb2e_tpu.models import ctransr as ctransr_lib
@@ -141,7 +169,7 @@ def main(argv=None, model_name=None):
     )
     if model_name is None:
         parser.add_argument("--model", default="transe",
-                            choices=("transe", "transh", "transr", "ctransr"))
+                            choices=("transe", "transh", "transr", "ctransr", "ptranse"))
     args = parser.parse_args(argv)
     cfg = common.config_from_args(args)
     run_training(

@@ -58,6 +58,24 @@ class EmbeddingConfig:
     data_axis: Optional[int] = None
     model_axis: Optional[int] = None
 
+    # --- PTransE path-modelling knobs (models/ptranse.py; the reference fork
+    # reports PTransE numbers in README.md:26-29 but ships no code) ---
+    # Relation-path composition: 'add' | 'mul' | 'rnn' (paper §3.2).
+    path_composition: str = "add"
+    # Weight of the path loss term relative to the triple loss.
+    path_weight: float = 1.0
+    # Margin for the relation-corruption path loss.
+    path_margin: float = 1.0
+    # Paths kept per (h, t) pair (top-confidence).
+    max_paths: int = 8
+    # Maximum path length in hops (2 = "2-step", 3 = "3-step").
+    path_length: int = 2
+    # Minimum normalised PCRA reliability for a path to be kept.
+    path_min_conf: float = 0.01
+    # Skip expanding (node, relation) fan-outs above this cap (0 = no cap) —
+    # the standard hub truncation during path extraction.
+    path_max_branch: int = 0
+
     def resolved_seed(self) -> int:
         return int(time.time()) if self.seed is None else int(self.seed)
 

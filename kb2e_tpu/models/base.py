@@ -104,6 +104,7 @@ def get_model(name: str) -> Model:
     import kb2e_tpu.models.transh  # noqa: F401
     import kb2e_tpu.models.transr  # noqa: F401
     import kb2e_tpu.models.ctransr  # noqa: F401
+    import kb2e_tpu.models.ptranse  # noqa: F401
 
     try:
         return _REGISTRY[name.lower()]

@@ -24,6 +24,10 @@ PARAM_SPECS: Dict[str, P] = {
     "proj": P("model", None, None),
     "relation_c": P(None, None, None),
     "centers": P(None, None, None),
+    # PTransE: inverse-relation table and RNN composition matrix — small,
+    # replicated like the relation table.
+    "relation_inv": P(None, None),
+    "comp_w": P(None, None),
 }
 
 BATCH_SPEC = P("data")

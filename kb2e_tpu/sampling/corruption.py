@@ -50,6 +50,7 @@ def sample_batch(
     cuckoo_m: int = 0,
     cuckoo_salt: int = 0,
     n_relations: int = 0,
+    return_idx: bool = False,
 ) -> Batch:
     """Draw one training batch: positives + certified-negative corruptions.
 
@@ -94,7 +95,53 @@ def sample_batch(
 
     nh = jnp.where(corrupt_tail, ph, j)
     nt = jnp.where(corrupt_tail, j, pt)
-    return Batch(ph=ph, pt=pt, r=r, nh=nh, nt=nt, valid=valid)
+    out = Batch(ph=ph, pt=pt, r=r, nh=nh, nt=nt, valid=valid)
+    if return_idx:
+        # Index of each sampled positive triple — consumers with per-triple
+        # side data (e.g. PTransE's path store) gather by it.
+        out["idx"] = i
+    return out
+
+
+def sample_relation_negatives(
+    key: jax.Array,
+    ph: jax.Array,  # int32 [B] positive triple
+    pt: jax.Array,
+    r: jax.Array,
+    n_relations: int,
+    sorted_h: jax.Array,
+    sorted_r: jax.Array,
+    sorted_t: jax.Array,
+    resample_rounds: int = 4,
+    cuckoo_table: Optional[jax.Array] = None,
+    cuckoo_m: int = 0,
+    cuckoo_salt: int = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Corrupted RELATIONS for PTransE's path loss (paper eq. 8: replace r
+    with r' such that (h, r', t) is false).
+
+    Same fixed-rounds rejection design as :func:`sample_batch`; membership of
+    (h, r, t) itself guarantees r' ≠ r comes out of the certification for
+    free.  Returns (nr [B] int32, valid [B] bool).
+    """
+    batch_size = ph.shape[0]
+    n_cands = max(1, resample_rounds)
+    cands = jax.random.randint(
+        key, (batch_size, n_cands), 0, n_relations, dtype=jnp.int32
+    )
+    qh = jnp.broadcast_to(ph[:, None], (batch_size, n_cands))
+    qt = jnp.broadcast_to(pt[:, None], (batch_size, n_cands))
+    if cuckoo_table is not None:
+        bad = cuckoo.contains(
+            cuckoo_table, cuckoo_m, cuckoo_salt, n_relations, qh, cands, qt
+        )
+    else:
+        bad = membership.contains(sorted_h, sorted_r, sorted_t, qh, cands, qt)
+    ok = ~bad
+    first = jnp.argmax(ok, axis=1)
+    valid = jnp.any(ok, axis=1)
+    nr = jnp.take_along_axis(cands, first[:, None], axis=1)[:, 0]
+    return nr, valid
 
 
 def batch_from_streams(

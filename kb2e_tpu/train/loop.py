@@ -35,6 +35,7 @@ def train(
     resume: bool = False,
     eval_every: int = 0,
     eval_fn: Optional[Callable[[Params], dict]] = None,
+    path_store=None,
 ) -> Params:
     """Train embeddings; returns the final params pytree (on device).
 
@@ -67,7 +68,7 @@ def train(
             for _ in range(start_epoch * splits_per_epoch):
                 key, _ = jax.random.split(key)
 
-    data = step_lib.DeviceData.from_triple_set(triples)
+    data = step_lib.DeviceData.from_triple_set(triples, path_store=path_store)
     batch_size = step_lib.batch_size_for(triples.num_triples, cfg.num_batches)
 
     mesh = None

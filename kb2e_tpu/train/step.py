@@ -39,9 +39,12 @@ class DeviceData(NamedTuple):
     cuckoo_salt: jax.Array  # int32 scalar
     n_relations: jax.Array  # int32 scalar (for (h, r) key packing)
     n_entities: int  # static
+    # PTransE path store aligned per triple (None for path-free models).
+    paths: "jax.Array | None" = None  # int32 [T, P, L], −1 padded
+    path_conf: "jax.Array | None" = None  # float32 [T, P]
 
     @classmethod
-    def from_triple_set(cls, ts: TripleSet) -> "DeviceData":
+    def from_triple_set(cls, ts: TripleSet, path_store=None) -> "DeviceData":
         return cls(
             heads=jnp.asarray(ts.heads),
             tails=jnp.asarray(ts.tails),
@@ -55,7 +58,35 @@ class DeviceData(NamedTuple):
             cuckoo_salt=jnp.int32(ts.cuckoo_salt),
             n_relations=jnp.int32(ts.n_relations),
             n_entities=ts.n_entities,
+            paths=(None if path_store is None else jnp.asarray(path_store.rels)),
+            path_conf=(None if path_store is None else jnp.asarray(path_store.conf)),
         )
+
+
+def _with_path_data(
+    key: jax.Array, batch: Batch, data: DeviceData, resample_rounds: int
+) -> Batch:
+    """Attach PTransE per-triple path data + corrupted relations to a batch."""
+    idx = batch["idx"]
+    nr, nr_valid = corruption.sample_relation_negatives(
+        key,
+        batch["ph"],
+        batch["pt"],
+        batch["r"],
+        data.n_relations,
+        data.sorted_h,
+        data.sorted_r,
+        data.sorted_t,
+        resample_rounds=resample_rounds,
+        cuckoo_table=data.cuckoo_table,
+        cuckoo_m=data.cuckoo_m,
+        cuckoo_salt=data.cuckoo_salt,
+    )
+    aug = {k: v for k, v in batch.items() if k != "idx"}
+    aug.update(
+        paths=data.paths[idx], conf=data.path_conf[idx], nr=nr, nr_valid=nr_valid
+    )
+    return Batch(aug)
 
 
 def make_train_step(model: Model, cfg: EmbeddingConfig, batch_size: int):
@@ -65,6 +96,9 @@ def make_train_step(model: Model, cfg: EmbeddingConfig, batch_size: int):
 
     @functools.partial(jax.jit, static_argnames=("n_entities",), donate_argnames=("params",))
     def step(params: Params, key: jax.Array, data: DeviceData, n_entities: int) -> Tuple[Params, jax.Array]:
+        use_paths = data.paths is not None
+        if use_paths:
+            key, k_nr = jax.random.split(key)
         batch = corruption.sample_batch(
             key,
             data.heads,
@@ -82,7 +116,10 @@ def make_train_step(model: Model, cfg: EmbeddingConfig, batch_size: int):
             cuckoo_m=data.cuckoo_m,
             cuckoo_salt=data.cuckoo_salt,
             n_relations=data.n_relations,
+            return_idx=use_paths,
         )
+        if use_paths:
+            batch = _with_path_data(k_nr, batch, data, cfg.corruption_resample_rounds)
         if parity:
             return model.sequential_update(params, batch, cfg)
         return model.batch_update(params, batch, cfg)
@@ -104,6 +141,7 @@ def make_epoch_runner(
     batch_size: int,
     num_batches: int,
     mesh=None,
+    unroll: int = 1,
 ):
     """Build a jitted runner executing a WHOLE epoch (num_batches steps) in
     one launch via ``lax.scan`` — the reference's epoch loop
@@ -148,6 +186,9 @@ def make_epoch_runner(
 
     @functools.partial(jax.jit, static_argnames=("n_entities",), donate_argnames=("params",))
     def epoch(params: Params, key: jax.Array, data: DeviceData, n_entities: int):
+        use_paths = data.paths is not None
+        if use_paths:
+            key, k_nr = jax.random.split(key)
         # Pre-sample EVERY batch of the epoch in one block: sampling is
         # independent of the evolving parameters, and one [num_batches*B]
         # gather is bandwidth-bound where per-batch [B] gathers inside the
@@ -169,7 +210,10 @@ def make_epoch_runner(
             cuckoo_m=data.cuckoo_m,
             cuckoo_salt=data.cuckoo_salt,
             n_relations=data.n_relations,
+            return_idx=use_paths,
         )
+        if use_paths:
+            big = _with_path_data(k_nr, big, data, cfg.corruption_resample_rounds)
         batches = Batch(
             {k: v.reshape(num_batches, batch_size, *v.shape[1:]) for k, v in big.items()}
         )
@@ -178,7 +222,7 @@ def make_epoch_runner(
             params, loss = model.batch_update(params, constrain_batch(batch), cfg)
             return constrain_params(params), loss
 
-        params, losses = jax.lax.scan(body, params, batches)
+        params, losses = jax.lax.scan(body, params, batches, unroll=unroll)
         return params, losses.sum()
 
     def run(params: Params, key: jax.Array, data: DeviceData):
