@@ -134,12 +134,34 @@ def build_path_store(
     max_paths: int = 8,
     max_branch: int = 0,
     pair_paths: Dict[Tuple[int, int], List[Tuple[Tuple[int, ...], float]]] | None = None,
+    use_native: "bool | str" = "auto",
+    n_entities: int | None = None,
 ) -> PathStore:
     """Build per-triple padded path arrays for training.
 
-    ``pair_paths`` lets callers inject paths from the native extractor; when
-    None the Python PCRA above runs.
+    ``use_native``: True forces the C++ extractor, False the Python one,
+    'auto' picks native for graphs above ~20k triples (where the Python
+    dict-based PCRA becomes the bottleneck) when the toolchain is available.
+    ``pair_paths`` lets callers inject externally computed paths.
     """
+    if pair_paths is None and use_native is not False:
+        want_native = use_native is True or (
+            use_native == "auto" and len(heads) > 20_000
+        )
+        if want_native:
+            from kb2e_tpu.data import native_paths
+
+            if native_paths.available():
+                if n_entities is None:
+                    n_entities = int(max(np.max(heads), np.max(tails))) + 1
+                rels_arr, conf_arr = native_paths.extract_path_arrays(
+                    heads, tails, rels, n_entities, n_relations,
+                    max_len=max_len, min_conf=min_conf,
+                    max_paths=max_paths, max_branch=max_branch,
+                )
+                return PathStore(rels=rels_arr, conf=conf_arr)
+            if use_native is True:
+                raise RuntimeError("native path extractor requested but unavailable")
     if pair_paths is None:
         pair_paths = extract_pair_paths(
             heads, tails, rels, n_relations,
