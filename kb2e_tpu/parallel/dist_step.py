@@ -48,6 +48,9 @@ def make_distributed_train_step(
 
     @functools.partial(jax.jit, static_argnames=("n_entities",), donate_argnames=("params",))
     def step(params: Params, key: jax.Array, data: DeviceData, n_entities: int):
+        use_paths = data.paths is not None
+        if use_paths:
+            key, k_nr = jax.random.split(key)
         batch = corruption.sample_batch(
             key,
             data.heads,
@@ -65,7 +68,12 @@ def make_distributed_train_step(
             cuckoo_m=data.cuckoo_m,
             cuckoo_salt=data.cuckoo_salt,
             n_relations=data.n_relations,
+            return_idx=use_paths,
         )
+        if use_paths:
+            from kb2e_tpu.train.step import _with_path_data
+
+            batch = _with_path_data(k_nr, batch, data, cfg.corruption_resample_rounds)
         # Pin the sampled batch to the data axis so scoring is data-parallel.
         batch = Batch(
             {k: jax.lax.with_sharding_constraint(v, batch_sharding) for k, v in batch.items()}
@@ -89,8 +97,11 @@ def make_distributed_train_step(
 def replicate_data(mesh: Mesh, data: DeviceData) -> DeviceData:
     """Place the triple store replicated on every device of the mesh."""
     rep = NamedSharding(mesh, P())
-    placed = [
-        jax.device_put(x, rep) if isinstance(x, jax.Array) or hasattr(x, "shape") else x
-        for x in data[:-1]
-    ]
-    return DeviceData(*placed, data.n_entities)
+
+    def place(x):
+        return jax.device_put(x, rep) if hasattr(x, "shape") else x
+
+    # Field-wise (not positional) so optional fields stay aligned.
+    return data._replace(
+        **{f: place(getattr(data, f)) for f in data._fields if f != "n_entities"}
+    )

@@ -30,7 +30,7 @@ def tiny_ts():
     return TripleSet.from_arrays(h, t, r, n_entities=N_ENT, n_relations=N_REL)
 
 
-@pytest.mark.parametrize("model_name", ["transe", "transh", "transr"])
+@pytest.mark.parametrize("model_name", ["transe", "transh", "transr", "ptranse"])
 def test_distributed_step_matches_single_device(tiny_ts, model_name):
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     cfg = EmbeddingConfig(embedding_size=K, learning_rate=0.02, margin=1.0,
@@ -40,15 +40,26 @@ def test_distributed_step_matches_single_device(tiny_ts, model_name):
     key = jax.random.PRNGKey(2)
     batch_size = 32
 
+    path_store = None
+    if model_name == "ptranse":
+        from kb2e_tpu.data import paths as paths_lib
+
+        path_store = paths_lib.build_path_store(
+            tiny_ts.heads, tiny_ts.tails, tiny_ts.rels, tiny_ts.n_relations,
+            use_native=False,
+        )
+
     # Both steps donate their params input; give each its own copy.
     host0 = {k: np.asarray(v) for k, v in params0.items()}
 
-    data = step_lib.DeviceData.from_triple_set(tiny_ts)
+    data = step_lib.DeviceData.from_triple_set(tiny_ts, path_store=path_store)
     single = step_lib.make_train_step(model, cfg, batch_size)
     p_single, loss_single = single({k: jnp.asarray(v) for k, v in host0.items()}, key, data)
 
     mesh = mesh_lib.make_mesh(2, 4)
-    dataD = dist_step.replicate_data(mesh, step_lib.DeviceData.from_triple_set(tiny_ts))
+    dataD = dist_step.replicate_data(
+        mesh, step_lib.DeviceData.from_triple_set(tiny_ts, path_store=path_store)
+    )
     paramsD = sharding.place_params(mesh, {k: jnp.asarray(v) for k, v in host0.items()})
     dist = dist_step.make_distributed_train_step(model, cfg, mesh, batch_size)
     p_dist, loss_dist = dist(paramsD, key, dataD)
