@@ -72,10 +72,11 @@ def main() -> None:
 
     results = {}
     seed_params = None
-    for name in ("transe", "transh", "transr", "ctransr"):
+    for name in ("transe", "transh", "transr", "ctransr", "ptranse"):
         model = get_model(name)
         t0 = time.time()
         init = None
+        path_store = None
         model_cfg = cfg
         if name in ("transr", "ctransr"):
             model_cfg = cfg.replace(learning_rate=cfg.learning_rate / 2)
@@ -92,7 +93,28 @@ def main() -> None:
                     ds.train.rels, ds.n_relations, model.n_clusters, seed=5,
                 )
                 init = model.with_centers(init, centers)
-        params = train_loop.train(model, model_cfg, ds.train, init_params=init, verbose=False)
+        if name == "ptranse":
+            from kb2e_tpu.data import paths as paths_lib
+            from kb2e_tpu.models import ptranse as ptranse_lib
+
+            init = model.init_params(
+                jax.random.PRNGKey(1), ds.n_entities, ds.n_relations, model_cfg
+            )
+            if seed_params is not None:  # paper: PTransE initialises from TransE
+                init = ptranse_lib.warm_start_params(
+                    init, np.asarray(seed_params["entity"]), np.asarray(seed_params["relation"])
+                )
+            ts = ds.train
+            path_store = paths_lib.build_path_store(
+                ts.heads, ts.tails, ts.rels, ts.n_relations,
+                max_len=model_cfg.path_length, max_paths=model_cfg.max_paths,
+                n_entities=ds.n_entities,
+            )
+            print(f"ptranse  PCRA coverage {path_store.coverage() * 100:.1f}%")
+        params = train_loop.train(
+            model, model_cfg, ds.train, init_params=init, verbose=False,
+            path_store=path_store,
+        )
         if name == "transe":
             seed_params = params
         metrics = harness.evaluate(model, params, ds, model_cfg)

@@ -23,7 +23,9 @@ from kb2e_tpu.io import text as text_io
 from kb2e_tpu.models import base as model_base
 
 
-def run_eval(model_name: str, cfg: EmbeddingConfig, verbose: bool = True) -> dict:
+def run_eval(
+    model_name: str, cfg: EmbeddingConfig, verbose: bool = True, task: str = "entity"
+) -> dict:
     model = model_base.get_model(model_name)
     print(cfg.describe())
 
@@ -67,6 +69,40 @@ def run_eval(model_name: str, cfg: EmbeddingConfig, verbose: bool = True) -> dic
         params["relation_c"] = jnp.asarray(host["relation_clusters"], jnp.float32)
         params["centers"] = jnp.asarray(host["cluster_centers"], jnp.float32)
 
+    if model_name == "ptranse":
+        for name in ("relation_inv", "comp_w"):
+            if name in host:
+                params[name] = jnp.asarray(host[name], jnp.float32)
+
+    if task == "relation":
+        # Relation prediction (PTransE paper's second task; the reference has
+        # no counterpart).  PTransE adds PCRA path evidence for test pairs
+        # extracted over the TRAIN graph.
+        path_store = None
+        if model_name == "ptranse":
+            from kb2e_tpu.data import paths as paths_lib
+
+            tr_ = dataset.train
+            path_store = paths_lib.build_path_store(
+                tr_.heads, tr_.tails, tr_.rels, tr_.n_relations,
+                max_len=cfg.path_length, min_conf=cfg.path_min_conf,
+                max_paths=cfg.max_paths, max_branch=cfg.path_max_branch,
+                n_entities=dataset.n_entities,
+                query_pairs=(dataset.test[0], dataset.test[1]),
+            )
+        metrics = harness.evaluate_relation_prediction(
+            model, params, dataset, cfg, path_store=path_store, verbose=verbose
+        )
+        print(
+            f"Relation Raw      -- Rank: {metrics['raw_mean_rank']:f}, "
+            f"Hits@1: {metrics['raw_hits1']:f}"
+        )
+        print(
+            f"Relation Filtered -- Rank: {metrics['filtered_mean_rank']:f}, "
+            f"Hits@1: {metrics['filtered_hits1']:f}"
+        )
+        return metrics
+
     metrics = harness.evaluate(model, params, dataset, cfg, verbose=verbose)
     harness.print_reference_style(metrics)
     harness.print_extended(metrics)
@@ -81,9 +117,12 @@ def main(argv=None, model_name=None):
     if model_name is None:
         parser.add_argument("--model", default="transe",
                             choices=("transe", "transh", "transr", "ctransr", "ptranse"))
+    parser.add_argument("--task", default="entity", choices=("entity", "relation"),
+                        help="link-prediction task: rank entities (reference) "
+                             "or relations (PTransE paper task 2)")
     args = parser.parse_args(argv)
     cfg = common.config_from_args(args)
-    run_eval(model_name or args.model, cfg)
+    run_eval(model_name or args.model, cfg, task=args.task)
 
 
 if __name__ == "__main__":

@@ -46,7 +46,13 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_LIB_PATH) and not _build():
+        src = os.path.abspath(_SOURCE)
+        stale = (
+            os.path.exists(_LIB_PATH)
+            and os.path.exists(src)
+            and os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
+        )
+        if (not os.path.exists(_LIB_PATH) or stale) and not _build():
             _build_failed = True
             return None
         try:
@@ -58,8 +64,9 @@ def _load() -> Optional[ctypes.CDLL]:
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         lib.kb2e_extract_paths.restype = ctypes.c_int
         lib.kb2e_extract_paths.argtypes = [
-            i32p, i32p, i32p,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, i32p, ctypes.c_int64,
+            i32p, i32p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS,WRITEABLE"),
             np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS,WRITEABLE"),
@@ -82,19 +89,27 @@ def extract_path_arrays(
     min_conf: float = 0.01,
     max_paths: int = 8,
     max_branch: int = 0,
+    query_pairs=None,
 ):
-    """Native PCRA; returns (rels [T, P, L] int32, conf [T, P] float32)."""
+    """Native PCRA over the (heads, tails, rels) graph for each query pair
+    (default: the graph's own pairs); returns (rels [Q, P, L] int32,
+    conf [Q, P] float32)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native path extractor unavailable")
     h = np.ascontiguousarray(heads, dtype=np.int32)
     t = np.ascontiguousarray(tails, dtype=np.int32)
     r = np.ascontiguousarray(rels, dtype=np.int32)
+    qh, qt = (h, t) if query_pairs is None else (
+        np.ascontiguousarray(query_pairs[0], dtype=np.int32),
+        np.ascontiguousarray(query_pairs[1], dtype=np.int32),
+    )
     n = h.shape[0]
-    out_rels = np.empty((n, max_paths, max_len), dtype=np.int32)
-    out_conf = np.empty((n, max_paths), dtype=np.float32)
+    nq = qh.shape[0]
+    out_rels = np.empty((nq, max_paths, max_len), dtype=np.int32)
+    out_conf = np.empty((nq, max_paths), dtype=np.float32)
     rc = lib.kb2e_extract_paths(
-        h, t, r, n, int(n_entities), int(n_relations),
+        h, t, r, n, qh, qt, nq, int(n_entities), int(n_relations),
         int(max_len), float(min_conf), int(max_paths), int(max_branch),
         out_rels.reshape(-1), out_conf.reshape(-1),
     )

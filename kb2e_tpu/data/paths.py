@@ -70,21 +70,26 @@ def extract_pair_paths(
     max_len: int = 2,
     min_conf: float = 0.01,
     max_branch: int = 0,
+    query_pairs: Tuple[np.ndarray, np.ndarray] | None = None,
 ) -> Dict[Tuple[int, int], List[Tuple[Tuple[int, ...], float]]]:
-    """PCRA paths for every (h, t) pair appearing in the training triples.
+    """PCRA paths over the (heads, tails, rels) graph for each query pair.
 
-    Returns pair -> list of (path, normalised confidence), confidence-sorted
-    descending.  ``min_conf`` filters AFTER normalisation (Z includes every
-    discovered path); ``max_branch`` > 0 skips expanding (node, relation)
-    fan-outs larger than the cap — the standard truncation for hub nodes.
+    ``query_pairs`` defaults to the graph's own (h, t) pairs (training use);
+    pass e.g. test pairs to extract evidence paths for evaluation over the
+    train graph.  Returns pair -> list of (path, normalised confidence),
+    confidence-sorted descending.  ``min_conf`` filters AFTER normalisation
+    (Z includes every discovered path); ``max_branch`` > 0 skips expanding
+    (node, relation) fan-outs larger than the cap — the standard truncation
+    for hub nodes.
     """
     heads = np.asarray(heads)
     tails = np.asarray(tails)
     rels = np.asarray(rels)
     out = _grouped_adjacency(heads, tails, rels, n_relations)
 
+    q_heads, q_tails = query_pairs if query_pairs is not None else (heads, tails)
     targets_by_head: Dict[int, set] = defaultdict(set)
-    for h, t in zip(heads.tolist(), tails.tolist()):
+    for h, t in zip(np.asarray(q_heads).tolist(), np.asarray(q_tails).tolist()):
         targets_by_head[h].add(t)
 
     result: Dict[Tuple[int, int], List[Tuple[Tuple[int, ...], float]]] = {}
@@ -136,14 +141,18 @@ def build_path_store(
     pair_paths: Dict[Tuple[int, int], List[Tuple[Tuple[int, ...], float]]] | None = None,
     use_native: "bool | str" = "auto",
     n_entities: int | None = None,
+    query_pairs: Tuple[np.ndarray, np.ndarray] | None = None,
 ) -> PathStore:
-    """Build per-triple padded path arrays for training.
+    """Build padded path arrays, one row per query pair.
 
+    Queries default to the graph's own triples (training store); pass test
+    pairs via ``query_pairs`` to build an evaluation-evidence store.
     ``use_native``: True forces the C++ extractor, False the Python one,
     'auto' picks native for graphs above ~20k triples (where the Python
     dict-based PCRA becomes the bottleneck) when the toolchain is available.
     ``pair_paths`` lets callers inject externally computed paths.
     """
+    q_heads, q_tails = query_pairs if query_pairs is not None else (heads, tails)
     if pair_paths is None and use_native is not False:
         want_native = use_native is True or (
             use_native == "auto" and len(heads) > 20_000
@@ -158,6 +167,7 @@ def build_path_store(
                     heads, tails, rels, n_entities, n_relations,
                     max_len=max_len, min_conf=min_conf,
                     max_paths=max_paths, max_branch=max_branch,
+                    query_pairs=(q_heads, q_tails),
                 )
                 return PathStore(rels=rels_arr, conf=conf_arr)
             if use_native is True:
@@ -166,11 +176,12 @@ def build_path_store(
         pair_paths = extract_pair_paths(
             heads, tails, rels, n_relations,
             max_len=max_len, min_conf=min_conf, max_branch=max_branch,
+            query_pairs=(q_heads, q_tails),
         )
-    T = len(heads)
+    T = len(q_heads)
     path_rels = np.full((T, max_paths, max_len), -1, dtype=np.int32)
     path_conf = np.zeros((T, max_paths), dtype=np.float32)
-    for i, (h, t) in enumerate(zip(np.asarray(heads).tolist(), np.asarray(tails).tolist())):
+    for i, (h, t) in enumerate(zip(np.asarray(q_heads).tolist(), np.asarray(q_tails).tolist())):
         plist = pair_paths.get((h, t))
         if not plist:
             continue

@@ -284,6 +284,114 @@ def evaluate(
     return acc.metrics()
 
 
+def evaluate_relation_prediction(
+    model: Model,
+    params: Params,
+    dataset: Dataset,
+    cfg: EmbeddingConfig,
+    *,
+    test_triples: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
+    path_store=None,
+    verbose: bool = False,
+) -> Dict[str, float]:
+    """Relation prediction: rank the golden relation among all R candidates.
+
+    The reference only evaluates entity prediction; this is the PTransE
+    paper's second task (its README table's source reports MR/Hits@1 here).
+    Scores are the triple energy E(h, r', t) for every candidate relation;
+    with ``path_store`` (PathStore rows aligned to the test triples, extracted
+    over the TRAIN graph) models carrying an inverse-relation table add the
+    paper's path evidence  Σ_p conf(p) · ‖comp(p) − r'‖₁.
+
+    Filtered ranks exclude other relations known to hold for the same (h, t)
+    pair (train ∪ valid ∪ test), mirroring the entity-side filter rule.
+    """
+    if test_triples is None:
+        test_triples = dataset.test
+    if test_triples is None or test_triples[0].size == 0:
+        raise ValueError("no test triples to evaluate")
+    th, tt, tr = (np.asarray(a, dtype=np.int64) for a in test_triples)
+    n_test = th.shape[0]
+    R = dataset.n_relations
+    distance = model.effective_distance(Distance.from_any(cfg.distance))
+
+    # Known relations per (h, t) pair over train ∪ valid ∪ test.
+    parts = [(dataset.train.heads, dataset.train.tails, dataset.train.rels)]
+    for split in (dataset.valid, test_triples):
+        if split is not None:
+            parts.append(split)
+    known: Dict[Tuple[int, int], set] = {}
+    for p in parts:
+        ph, pt, pr = (np.asarray(x) for x in p)
+        for i in range(ph.shape[0]):
+            known.setdefault((int(ph[i]), int(pt[i])), set()).add(int(pr[i]))
+
+    use_paths = path_store is not None and "relation_inv" in params
+    if use_paths:
+        from kb2e_tpu.models import ptranse as ptranse_lib
+
+    batch = cfg.eval_batch_size
+    rel_ids = jnp.tile(jnp.arange(R, dtype=jnp.int32), batch)  # [B·R]
+
+    # params passed as an argument, not closed over: baked-in table constants
+    # explode compile time on remote-compile backends (see CLAUDE.md).
+    @jax.jit
+    def score_batch(p, h, t, paths=None, conf=None):
+        h_rep = jnp.repeat(h, R)
+        t_rep = jnp.repeat(t, R)
+        e = model.energy(p, h_rep, t_rep, rel_ids, distance).reshape(-1, R)
+        if paths is not None:
+            rel_all = jnp.concatenate([p["relation"], p["relation_inv"]], axis=0)
+            pv = ptranse_lib.compose_paths(
+                rel_all, paths, cfg.path_composition, p.get("comp_w")
+            )  # [B, P, k]
+            # ‖comp(p) − r'‖₁ for every candidate relation.
+            d = jnp.abs(pv[:, :, None, :] - p["relation"][None, None, :, :]).sum(-1)
+            e = e + (conf[:, :, None] * d).sum(axis=1)
+        return e
+
+    acc = EvalAccumulator()
+    for s in range(0, n_test, batch):
+        b = min(batch, n_test - s)
+        pad = batch - b
+        h = jnp.asarray(np.concatenate([th[s : s + b], np.zeros(pad, np.int64)]), jnp.int32)
+        t = jnp.asarray(np.concatenate([tt[s : s + b], np.zeros(pad, np.int64)]), jnp.int32)
+        if use_paths:
+            pr_ = np.concatenate(
+                [path_store.rels[s : s + b], np.full((pad,) + path_store.rels.shape[1:], -1, np.int32)]
+            )
+            pc_ = np.concatenate(
+                [path_store.conf[s : s + b], np.zeros((pad,) + path_store.conf.shape[1:], np.float32)]
+            )
+            scores = np.asarray(
+                score_batch(params, h, t, jnp.asarray(pr_), jnp.asarray(pc_))
+            )[:b]
+        else:
+            scores = np.asarray(score_batch(params, h, t))[:b]
+        raw = np.empty(b, np.int64)
+        filt = np.empty(b, np.int64)
+        for i in range(b):
+            true = int(tr[s + i])
+            sc = scores[i]
+            s_true = sc[true]
+            less = sc < s_true
+            tie_before = (sc == s_true) & (np.arange(R) < true)
+            raw[i] = 1 + int((less | tie_before).sum())
+            good = known.get((int(th[s + i]), int(tt[s + i])), set()) - {true}
+            if good:
+                mask = np.ones(R, bool)
+                mask[list(good)] = False
+                filt[i] = 1 + int(((less | tie_before) & mask).sum())
+            else:
+                filt[i] = raw[i]
+        acc.add(raw, filt)
+        if verbose:
+            print(f"\rRelation prediction {min(s + b, n_test) * 100.0 / n_test:05.2f}% ...", end="")
+    if verbose:
+        print()
+    return acc.metrics()
+
+
 def print_reference_style(metrics: Dict[str, float]) -> None:
     """Print the reference's final two lines (common/evaluation.cpp:247-250)."""
     print(

@@ -64,14 +64,19 @@ struct Entry {
 
 extern "C" {
 
-// Returns 0 on success, -1 on invalid arguments.  Output arrays are
-// caller-shaped: out_rels [n_triples * max_paths * max_len] (filled with -1),
-// out_conf [n_triples * max_paths] (filled with 0).
+// Returns 0 on success, -1 on invalid arguments.  The graph is
+// (heads, tails, rels); paths are extracted for the (q_heads, q_tails) query
+// pairs (pass the graph's own pairs for training stores, test pairs for
+// evaluation-evidence stores).  Output arrays are caller-shaped:
+// out_rels [n_queries * max_paths * max_len] (filled with -1),
+// out_conf [n_queries * max_paths] (filled with 0).
 int kb2e_extract_paths(const int32_t* heads, const int32_t* tails,
                        const int32_t* rels, int64_t n_triples,
-                       int64_t n_entities, int64_t n_relations, int max_len,
-                       double min_conf, int max_paths, int max_branch,
-                       int32_t* out_rels, float* out_conf) {
+                       const int32_t* q_heads, const int32_t* q_tails,
+                       int64_t n_queries, int64_t n_entities,
+                       int64_t n_relations, int max_len, double min_conf,
+                       int max_paths, int max_branch, int32_t* out_rels,
+                       float* out_conf) {
   if (max_len < 2 || max_len > 3 || max_paths < 1) return -1;
   if (2 * n_relations + 1 >= (1ll << kHopBits)) return -1;
   const int64_t n_nodes = n_entities;
@@ -96,13 +101,13 @@ int kb2e_extract_paths(const int32_t* heads, const int32_t* tails,
   for (const Edge& e : edges) ++node_start[e.src + 1];
   for (int64_t i = 0; i < n_nodes; ++i) node_start[i + 1] += node_start[i];
 
-  // Per-head target lists and the triples to fill for each (h, t) pair.
-  std::vector<std::vector<int64_t>> triples_of_head(n_nodes);
-  for (int64_t i = 0; i < n_triples; ++i)
-    triples_of_head[heads[i]].push_back(i);
+  // Per-head query lists: which output rows to fill for each (h, t) pair.
+  std::vector<std::vector<int64_t>> queries_of_head(n_nodes);
+  for (int64_t i = 0; i < n_queries; ++i)
+    queries_of_head[q_heads[i]].push_back(i);
 
-  std::fill(out_rels, out_rels + n_triples * max_paths * max_len, -1);
-  std::fill(out_conf, out_conf + n_triples * max_paths, 0.0f);
+  std::fill(out_rels, out_rels + n_queries * max_paths * max_len, -1);
+  std::fill(out_conf, out_conf + n_queries * max_paths, 0.0f);
 
   // Frontier entries per depth, aggregated by (path, node) via sort+merge —
   // deterministic and allocation-light.
@@ -147,7 +152,7 @@ int kb2e_extract_paths(const int32_t* heads, const int32_t* tails,
   };
 
   for (int64_t h = 0; h < n_nodes; ++h) {
-    if (triples_of_head[h].empty()) continue;
+    if (queries_of_head[h].empty()) continue;
 
     frontier.assign({{0ull, static_cast<int32_t>(h), 1.0}});
     found.clear();
@@ -164,8 +169,8 @@ int kb2e_extract_paths(const int32_t* heads, const int32_t* tails,
       return a.path < b.path;
     });
 
-    for (int64_t ti : triples_of_head[h]) {
-      int32_t t = tails[ti];
+    for (int64_t ti : queries_of_head[h]) {
+      int32_t t = q_tails[ti];
       auto lo = std::lower_bound(
           found.begin(), found.end(), t,
           [](const Entry& e, int32_t v) { return e.node < v; });

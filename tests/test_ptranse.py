@@ -136,6 +136,76 @@ def test_ptranse_trains_and_evals(tiny_dataset, composition):
         assert "comp_w" in params and np.isfinite(np.asarray(params["comp_w"])).all()
 
 
+def test_relation_prediction_matches_bruteforce(tiny_dataset):
+    """evaluate_relation_prediction vs direct per-triple scoring (TransE)."""
+    ds = tiny_dataset
+    cfg = EmbeddingConfig(embedding_size=8, eval_batch_size=16)
+    rng = np.random.default_rng(2)
+    ent = rng.normal(size=(ds.n_entities, 8)).astype(np.float32) * 0.3
+    rel = rng.normal(size=(ds.n_relations, 8)).astype(np.float32) * 0.3
+    model = get_model("transe")
+    params = {"entity": jnp.asarray(ent), "relation": jnp.asarray(rel)}
+    th, tt, tr_ = (np.asarray(a)[:25] for a in ds.test)
+    metrics = harness.evaluate_relation_prediction(
+        model, params, ds, cfg, test_triples=(th, tt, tr_)
+    )
+
+    known = {}
+    for part in [(ds.train.heads, ds.train.tails, ds.train.rels), ds.valid, (th, tt, tr_)]:
+        ph_, pt_, pr_ = (np.asarray(x) for x in part)
+        for i in range(ph_.shape[0]):
+            known.setdefault((int(ph_[i]), int(pt_[i])), set()).add(int(pr_[i]))
+
+    raw_sum = filt_sum = raw_h1 = filt_h1 = 0
+    R = ds.n_relations
+    for i in range(th.shape[0]):
+        h, t, true = int(th[i]), int(tt[i]), int(tr_[i])
+        sc = np.abs((ent[t] - ent[h])[None, :] - rel).sum(1)  # [R]
+        less = sc < sc[true]
+        tie = (sc == sc[true]) & (np.arange(R) < true)
+        raw = 1 + int((less | tie).sum())
+        good = known[(h, t)] - {true}
+        mask = np.ones(R, bool)
+        mask[list(good)] = False
+        filt = 1 + int(((less | tie) & mask).sum())
+        raw_sum += raw; filt_sum += filt
+        raw_h1 += raw <= 1; filt_h1 += filt <= 1
+    n = th.shape[0]
+    assert metrics["raw_mean_rank"] == pytest.approx(raw_sum / n)
+    assert metrics["filtered_mean_rank"] == pytest.approx(filt_sum / n)
+    assert metrics["raw_hits1"] == pytest.approx(raw_h1 / n)
+    assert metrics["filtered_hits1"] == pytest.approx(filt_h1 / n)
+
+
+def test_relation_prediction_with_path_evidence(tiny_dataset):
+    """PTransE path evidence plugs into relation prediction and helps on a
+    KG where paths carry signal (trained model, filtered MR must be sane)."""
+    ds = tiny_dataset
+    ts = ds.train
+    cfg = EmbeddingConfig(
+        embedding_size=16, learning_rate=0.02, margin=1.0, method=Method.BERN,
+        num_batches=8, max_epochs=10, distance=Distance.L1, seed=3,
+        eval_batch_size=32, max_paths=4, path_length=2,
+    )
+    store = paths_lib.build_path_store(
+        ts.heads, ts.tails, ts.rels, ts.n_relations, max_len=2, max_paths=4,
+        use_native=False,
+    )
+    model = get_model("ptranse")
+    params = train_loop.train(model, cfg, ts, verbose=False, path_store=store)
+    test_store = paths_lib.build_path_store(
+        ts.heads, ts.tails, ts.rels, ts.n_relations, max_len=2, max_paths=4,
+        use_native=False, query_pairs=(ds.test[0], ds.test[1]),
+    )
+    assert test_store.rels.shape[0] == np.asarray(ds.test[0]).shape[0]
+    m = harness.evaluate_relation_prediction(
+        model, params, ds, cfg, path_store=test_store
+    )
+    chance = (ds.n_relations + 1) / 2
+    assert m["filtered_mean_rank"] < chance, m
+    assert m["num_corruptions"] == np.asarray(ds.test[0]).shape[0]
+
+
 def test_ptranse_warm_start_uses_negated_relation():
     model = get_model("ptranse")
     cfg = EmbeddingConfig(embedding_size=8)
