@@ -54,6 +54,10 @@ class EmbeddingConfig:
     # Orthogonality / transR projection loop cap (reference loops unboundedly,
     # common/utils.cpp:85-108 and transr/trainer.cpp:36-63).
     projection_max_iters: int = 16
+    # Row-update scatter lowering: 'direct' (duplicate-tolerant scatter-add)
+    # or 'dedup' (sort + segment-sum, then unique-index scatter) — see
+    # kb2e_tpu/ops/scatter.py.
+    scatter_mode: str = "direct"
     # Optional mesh axis sizes for distributed runs; None = single device.
     data_axis: Optional[int] = None
     model_axis: Optional[int] = None

@@ -72,10 +72,12 @@ class TransE(base.Model):
         x_neg = _residual_grad(res_neg, dist) * m
 
         # Positive triple uses modifier −1, corrupted +1 (transe/trainer.cpp:26).
-        rel = rel.at[r].add(lr * (x_pos - x_neg))
+        from kb2e_tpu.ops import scatter
+
+        rel = scatter.scatter_add(rel, r, lr * (x_pos - x_neg), cfg.scatter_mode)
         idx = jnp.concatenate([ph, pt, nh, nt])
         delta = jnp.concatenate([lr * x_pos, -lr * x_pos, -lr * x_neg, lr * x_neg])
-        ent = ent.at[idx].add(delta)
+        ent = scatter.scatter_add(ent, idx, delta, cfg.scatter_mode)
 
         return (
             {"entity": projections.ball_norm(ent), "relation": projections.ball_norm(rel)},
