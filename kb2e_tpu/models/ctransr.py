@@ -187,10 +187,12 @@ class CTransR(transr.TransR):
         d_w = lr * (
             jnp.einsum("bj,bi->bji", he - te, x_pos) - jnp.einsum("bj,bi->bji", ne_h - ne_t, x_neg)
         )
-        proj = proj.at[r].add(d_w)
+        from kb2e_tpu.ops import scatter
+
+        proj = scatter.scatter_add(proj, r, d_w, cfg.scatter_mode)
         idx = jnp.concatenate([ph, pt, nh, nt])
         delta = jnp.concatenate([lr * wx_pos, -lr * wx_pos, -lr * wx_neg, lr * wx_neg])
-        ent = ent.at[idx].add(delta)
+        ent = scatter.scatter_add(ent, idx, delta, cfg.scatter_mode)
 
         # Cluster vector update + α-regulariser toward the relation mean.
         reg = 2.0 * self.alpha * (rv - rel[r]) * m
@@ -211,8 +213,8 @@ class CTransR(transr.TransR):
         pair_r = jnp.concatenate([r, r, r])
         e_rows, w_rows = ent[pair_e], proj[pair_r]
         e_new, w_new = ball(e_rows, w_rows)
-        ent = ent.at[pair_e].add(e_new - e_rows)
-        proj = proj.at[pair_r].add(w_new - w_rows)
+        ent = scatter.scatter_add(ent, pair_e, e_new - e_rows, cfg.scatter_mode)
+        proj = scatter.scatter_add(proj, pair_r, w_new - w_rows, cfg.scatter_mode)
 
         return (
             {"entity": ent, "relation": rel, "relation_c": rel_c, "proj": proj, "centers": params["centers"]},

@@ -113,10 +113,14 @@ class PTransE(transe.TransE):
         m = viol.astype(res_pos.dtype)[:, None]
         x_pos = transe._residual_grad(res_pos, dist) * m
         x_neg = transe._residual_grad(res_neg, dist) * m
-        d_rel = jnp.zeros_like(rel).at[r].add(lr * (x_pos - x_neg))
+        from kb2e_tpu.ops import scatter
+
+        d_rel = scatter.scatter_add(
+            jnp.zeros_like(rel), r, lr * (x_pos - x_neg), cfg.scatter_mode
+        )
         idx = jnp.concatenate([ph, pt, nh, nt])
         delta = jnp.concatenate([lr * x_pos, -lr * x_pos, -lr * x_neg, lr * x_neg])
-        ent = ent.at[idx].add(delta)
+        ent = scatter.scatter_add(ent, idx, delta, cfg.scatter_mode)
 
         # --- path term: SGD descent on the PCRA-weighted relation-path loss ---
         loss_fn = self._path_loss_fn(batch, cfg)

@@ -97,11 +97,13 @@ class TransH(base.Model):
         _, dr_p, dh_p, dt_p, dw_p = contributions(res_pos, ent[ph], ent[pt], hs_pos, ts_pos, -1.0)
         _, dr_n, dh_n, dt_n, dw_n = contributions(res_neg, ent[nh], ent[nt], hs_neg, ts_neg, +1.0)
 
-        rel = rel.at[r].add(dr_p + dr_n)
-        w_tab = w_tab.at[r].add(dw_p + dw_n)
+        from kb2e_tpu.ops import scatter
+
+        rel = scatter.scatter_add(rel, r, dr_p + dr_n, cfg.scatter_mode)
+        w_tab = scatter.scatter_add(w_tab, r, dw_p + dw_n, cfg.scatter_mode)
         idx = jnp.concatenate([ph, pt, nh, nt])
         delta = jnp.concatenate([dh_p, dt_p, dh_n, dt_n])
-        ent = ent.at[idx].add(delta)
+        ent = scatter.scatter_add(ent, idx, delta, cfg.scatter_mode)
 
         # Constraints: ball e/r, sphere w (idempotent whole-table passes).
         ent = projections.ball_norm(ent)
@@ -123,8 +125,8 @@ class TransH(base.Model):
         e_rows = ent[e_idx]
         w_rows = w_tab[w_idx]
         e_new, w_new = orth(e_rows, w_rows)
-        ent = ent.at[e_idx].add(e_new - e_rows)
-        w_tab = w_tab.at[w_idx].add(w_new - w_rows)
+        ent = scatter.scatter_add(ent, e_idx, e_new - e_rows, cfg.scatter_mode)
+        w_tab = scatter.scatter_add(w_tab, w_idx, w_new - w_rows, cfg.scatter_mode)
         w_tab = projections.sphere_norm(w_tab)
 
         return {"entity": ent, "relation": rel, "norm": w_tab}, loss

@@ -96,11 +96,13 @@ class TransR(base.Model):
         d_w = lr * (
             jnp.einsum("bj,bi->bji", he - te, x_pos) - jnp.einsum("bj,bi->bji", ne_h - ne_t, x_neg)
         )
-        rel = rel.at[r].add(lr * (x_pos - x_neg))
-        proj = proj.at[r].add(d_w)
+        from kb2e_tpu.ops import scatter
+
+        rel = scatter.scatter_add(rel, r, lr * (x_pos - x_neg), cfg.scatter_mode)
+        proj = scatter.scatter_add(proj, r, d_w, cfg.scatter_mode)
         idx = jnp.concatenate([ph, pt, nh, nt])
         delta = jnp.concatenate([lr * wx_pos, -lr * wx_pos, -lr * wx_neg, lr * wx_neg])
-        ent = ent.at[idx].add(delta)
+        ent = scatter.scatter_add(ent, idx, delta, cfg.scatter_mode)
 
         # Constraints: sphere-norm tables and W rows (idempotent whole-table).
         ent = projections.sphere_norm(ent)
@@ -119,13 +121,13 @@ class TransR(base.Model):
         pair_r = jnp.concatenate([r, r, r])
         e_rows, w_rows = ent[pair_e], proj[pair_r]
         e_new, w_new = ball(e_rows, w_rows)
-        ent = ent.at[pair_e].add(e_new - e_rows)
-        proj = proj.at[pair_r].add(w_new - w_rows)
+        ent = scatter.scatter_add(ent, pair_e, e_new - e_rows, cfg.scatter_mode)
+        proj = scatter.scatter_add(proj, pair_r, w_new - w_rows, cfg.scatter_mode)
 
         r_rows, wr_rows = rel[r], proj[r]
         r_new, wr_new = ball(r_rows, wr_rows)
-        rel = rel.at[r].add(r_new - r_rows)
-        proj = proj.at[r].add(wr_new - wr_rows)
+        rel = scatter.scatter_add(rel, r, r_new - r_rows, cfg.scatter_mode)
+        proj = scatter.scatter_add(proj, r, wr_new - wr_rows, cfg.scatter_mode)
 
         return {"entity": ent, "relation": rel, "proj": proj}, loss
 

@@ -23,12 +23,16 @@ def scatter_add_direct(table: jax.Array, idx: jax.Array, delta: jax.Array) -> ja
 def scatter_add_dedup(table: jax.Array, idx: jax.Array, delta: jax.Array) -> jax.Array:
     """Scatter-add after combining duplicate indices.
 
-    idx [M] int32 row ids (may repeat), delta [M, k].  Sorts rows by id,
-    computes per-segment sums via cumsum differences at segment ends, and
+    idx [M] int32 row ids (may repeat), delta [M, ...] (any trailing shape,
+    e.g. [M, k] rows or [M, k, k] TransR projection blocks).  Sorts rows by
+    id, computes per-segment sums via cumsum differences at segment ends, and
     scatters one row per unique id with ``unique_indices=True``.  Non-end
     rows scatter to a dropped out-of-range slot, keeping shapes static.
     """
     m = idx.shape[0]
+    trailing = delta.shape[1:]
+    delta = delta.reshape(m, -1)
+    table_flat = table.reshape(table.shape[0], -1)
     order = jnp.argsort(idx)
     sidx = idx[order]
     sdelta = delta[order]
@@ -51,9 +55,10 @@ def scatter_add_dedup(table: jax.Array, idx: jax.Array, delta: jax.Array) -> jax
     target = jnp.where(
         is_end, sidx, table.shape[0] + jnp.arange(m, dtype=sidx.dtype)
     )
-    return table.at[target].add(
+    out = table_flat.at[target].add(
         jnp.where(is_end[:, None], seg_sum, 0.0), mode="drop", unique_indices=True
     )
+    return out.reshape(table.shape[0], *trailing)
 
 
 def scatter_add(

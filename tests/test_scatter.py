@@ -40,15 +40,23 @@ def test_dedup_under_jit_and_grad_free_path():
     )
 
 
-def test_transe_batch_update_scatter_modes_agree(tiny_dataset):
+@pytest.mark.parametrize("model_name", ["transe", "transh", "transr", "ctransr", "ptranse"])
+def test_batch_update_scatter_modes_agree(tiny_dataset, model_name):
     from kb2e_tpu.config import EmbeddingConfig
     from kb2e_tpu.models import get_model
     from kb2e_tpu.train import step as step_lib
 
-    model = get_model("transe")
+    model = get_model(model_name)
     ts = tiny_dataset.train
     key = jax.random.PRNGKey(0)
-    data = step_lib.DeviceData.from_triple_set(ts)
+    path_store = None
+    if model_name == "ptranse":
+        from kb2e_tpu.data import paths as paths_lib
+
+        path_store = paths_lib.build_path_store(
+            ts.heads, ts.tails, ts.rels, ts.n_relations, use_native=False
+        )
+    data = step_lib.DeviceData.from_triple_set(ts, path_store=path_store)
     outs = {}
     for mode in ("direct", "dedup"):
         cfg = EmbeddingConfig(embedding_size=16, seed=1, scatter_mode=mode)
@@ -58,5 +66,6 @@ def test_transe_batch_update_scatter_modes_agree(tiny_dataset):
     np.testing.assert_allclose(float(outs["direct"][1]), float(outs["dedup"][1]), rtol=1e-6)
     for k in outs["direct"][0]:
         np.testing.assert_allclose(
-            np.asarray(outs["direct"][0][k]), np.asarray(outs["dedup"][0][k]), atol=1e-6
+            np.asarray(outs["direct"][0][k]), np.asarray(outs["dedup"][0][k]),
+            atol=1e-5, err_msg=f"{model_name} param {k}",
         )
