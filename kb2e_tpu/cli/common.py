@@ -67,6 +67,8 @@ def build_parser(prog: str, description: str) -> argparse.ArgumentParser:
                    help="resume from the latest checkpoint in --checkpoint-dir")
     add("eval-every", dest="eval_every", type=int, default=0,
         help="evaluate link prediction on the valid split every N epochs")
+    add("profile-dir", dest="profile_dir", default=None,
+        help="capture a jax.profiler device trace of the run to this directory")
 
     # PTransE path-modelling flags (no reference counterpart; the fork's
     # README reports PTransE numbers but ships no code).

@@ -172,15 +172,18 @@ def main(argv=None, model_name=None):
                             choices=("transe", "transh", "transr", "ctransr", "ptranse"))
     args = parser.parse_args(argv)
     cfg = common.config_from_args(args)
-    run_training(
-        model_name or args.model,
-        cfg,
-        metrics_jsonl=args.metrics_jsonl,
-        checkpoint_dir=args.checkpoint_dir,
-        checkpoint_every=args.checkpoint_every,
-        resume=args.resume,
-        eval_every=args.eval_every,
-    )
+    from kb2e_tpu.utils import profiling
+
+    with profiling.capture_trace(args.profile_dir):
+        run_training(
+            model_name or args.model,
+            cfg,
+            metrics_jsonl=args.metrics_jsonl,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
+            resume=args.resume,
+            eval_every=args.eval_every,
+        )
 
 
 if __name__ == "__main__":
