@@ -58,6 +58,9 @@ class EmbeddingConfig:
     # or 'dedup' (sort + segment-sum, then unique-index scatter) — see
     # kb2e_tpu/ops/scatter.py.
     scatter_mode: str = "direct"
+    # Parity-mode implementation: 'auto' (fused Pallas kernel on TPU for
+    # TransE, lax.scan elsewhere), 'scan', or 'pallas'.
+    parity_impl: str = "auto"
     # Optional mesh axis sizes for distributed runs; None = single device.
     data_axis: Optional[int] = None
     model_axis: Optional[int] = None

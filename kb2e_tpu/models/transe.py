@@ -85,6 +85,21 @@ class TransE(base.Model):
         )
 
     def sequential_update(self, params, batch: base.Batch, cfg: EmbeddingConfig) -> Tuple[base.Params, jax.Array]:
+        impl = getattr(cfg, "parity_impl", "auto")
+        if impl == "pallas" or (impl == "auto" and jax.default_backend() == "tpu"):
+            # Fused sequential kernel: same per-sample semantics, one Pallas
+            # program instead of B lax.scan steps (ops/pallas_update.py).
+            from kb2e_tpu.ops import pallas_update
+
+            ent, rel, loss = pallas_update.transe_sequential_update(
+                params["entity"], params["relation"],
+                batch["ph"], batch["pt"], batch["r"],
+                batch["nh"], batch["nt"], batch["valid"],
+                learning_rate=cfg.learning_rate, margin=cfg.margin,
+                l1=(self.effective_distance(cfg.distance) == Distance.L1),
+                interpret=(jax.default_backend() != "tpu"),
+            )
+            return {"entity": ent, "relation": rel}, loss
         snap_e, snap_r = params["entity"], params["relation"]
         lr = cfg.learning_rate
         dist = self.effective_distance(cfg.distance)
