@@ -64,6 +64,9 @@ def compose_paths(
 
 class PTransE(transe.TransE):
     name = "ptranse"
+    # Extra tables (relation_inv, rnn weights) + the path loss don't fit the
+    # two-table fused epoch path inherited from TransE.
+    supports_fused_table = False
 
     def init_params(self, key, n_entities, n_relations, cfg: EmbeddingConfig) -> base.Params:
         k = cfg.embedding_size

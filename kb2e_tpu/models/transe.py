@@ -84,6 +84,53 @@ class TransE(base.Model):
             loss,
         )
 
+    # Single-table fast path: entities and relations share one [N+R, k] table
+    # (both are ball-normed in TransE, common/trainer.cpp:45-57), so the epoch
+    # scan needs ONE gather, ONE scatter-add and ONE projection per batch
+    # instead of two of each — scan-step op count is the measured bottleneck
+    # on TPU (PERF.md).  Numerics are unchanged: same deltas, same rows.
+    supports_fused_table = True
+
+    def fuse_params(self, params: base.Params) -> jax.Array:
+        return jnp.concatenate([params["entity"], params["relation"]])
+
+    def unfuse_params(self, table: jax.Array, n_entities: int) -> base.Params:
+        return {"entity": table[:n_entities], "relation": table[n_entities:]}
+
+    def fused_table_update(
+        self, table: jax.Array, n_entities: int, batch: base.Batch, cfg: EmbeddingConfig
+    ) -> Tuple[jax.Array, jax.Array]:
+        """``batch_update`` on the combined [N+R, k] table (relation row ids
+        offset by ``n_entities``)."""
+        lr = cfg.learning_rate
+        dist = self.effective_distance(cfg.distance)
+        ph, pt, r, nh, nt = batch["ph"], batch["pt"], batch["r"], batch["nh"], batch["nt"]
+        ro = r + n_entities
+
+        idx = jnp.concatenate([ph, pt, nh, nt, ro])
+        rows = table[idx]
+        b = ph.shape[0]
+        hv, tv, nhv, ntv, rv = (rows[i * b:(i + 1) * b] for i in range(5))
+        res_pos = tv - hv - rv
+        res_neg = ntv - nhv - rv
+        e_pos = distances.residual_energy(res_pos, dist)
+        e_neg = distances.residual_energy(res_neg, dist)
+
+        viol = (e_pos + cfg.margin > e_neg) & batch["valid"]
+        loss = jnp.sum(jnp.where(viol, cfg.margin + e_pos - e_neg, 0.0))
+
+        m = viol.astype(res_pos.dtype)[:, None]
+        x_pos = _residual_grad(res_pos, dist) * m
+        x_neg = _residual_grad(res_neg, dist) * m
+
+        from kb2e_tpu.ops import scatter
+
+        delta = jnp.concatenate(
+            [lr * x_pos, -lr * x_pos, -lr * x_neg, lr * x_neg, lr * (x_pos - x_neg)]
+        )
+        table = scatter.scatter_add(table, idx, delta, cfg.scatter_mode)
+        return projections.ball_norm(table), loss
+
     def sequential_update(self, params, batch: base.Batch, cfg: EmbeddingConfig) -> Tuple[base.Params, jax.Array]:
         impl = getattr(cfg, "parity_impl", "auto")
         if impl == "pallas" or (impl == "auto" and jax.default_backend() == "tpu"):

@@ -142,6 +142,7 @@ def make_epoch_runner(
     num_batches: int,
     mesh=None,
     unroll: int = 1,
+    fused: "bool | None" = None,
 ):
     """Build a jitted runner executing a WHOLE epoch (num_batches steps) in
     one launch via ``lax.scan`` — the reference's epoch loop
@@ -155,8 +156,19 @@ def make_epoch_runner(
     axis and the parameters to their canonical PartitionSpecs
     (kb2e_tpu/parallel/sharding.py) — GSPMD partitions the whole epoch
     program across the mesh.
+
+    ``fused`` (auto when None): single-device TransE runs the scan over ONE
+    combined [N+R, k] table (``Model.fused_table_update``) — one gather, one
+    scatter, one projection per batch instead of two of each.  Same numerics,
+    fewer per-scan-step ops (the measured TPU bottleneck, PERF.md).
     """
     method = Method.from_any(cfg.method)
+    if fused is None:
+        fused = mesh is None and getattr(model, "supports_fused_table", False)
+    elif fused and not getattr(model, "supports_fused_table", False):
+        raise ValueError(f"model {model.name} has no fused-table update")
+    if fused and mesh is not None:
+        raise ValueError("fused-table epoch runner is single-device only")
     if mesh is not None:
         from jax.sharding import NamedSharding
 
@@ -217,6 +229,15 @@ def make_epoch_runner(
         batches = Batch(
             {k: v.reshape(num_batches, batch_size, *v.shape[1:]) for k, v in big.items()}
         )
+
+        if fused:
+            def body(table, batch):
+                return model.fused_table_update(table, n_entities, batch, cfg)
+
+            table, losses = jax.lax.scan(
+                body, model.fuse_params(params), batches, unroll=unroll
+            )
+            return model.unfuse_params(table, n_entities), losses.sum()
 
         def body(params, batch):
             params, loss = model.batch_update(params, constrain_batch(batch), cfg)

@@ -89,3 +89,35 @@ def test_ctransr_trains_and_evals(tiny_dataset):
     metrics = harness.evaluate(model, params, tiny_dataset, cfg)
     assert metrics["filtered_hits10"] > 0.2, metrics
     assert metrics["raw_mean_rank"] >= 1.0
+
+
+def test_transe_fused_epoch_matches_unfused(tiny_dataset):
+    """The combined-table TransE epoch path (one gather/scatter/norm per
+    batch) must match the two-table path exactly: same deltas, same rows."""
+    from kb2e_tpu.train import step as step_lib
+
+    cfg = _cfg()
+    model = get_model("transe")
+    ts = tiny_dataset.train
+    data = step_lib.DeviceData.from_triple_set(ts)
+    bs = step_lib.batch_size_for(ts.num_triples, cfg.num_batches)
+    params0 = model.init_params(jax.random.PRNGKey(7), ts.n_entities, ts.n_relations, cfg)
+    key = jax.random.PRNGKey(11)
+
+    run_f = step_lib.make_epoch_runner(model, cfg, bs, cfg.num_batches, fused=True)
+    run_u = step_lib.make_epoch_runner(model, cfg, bs, cfg.num_batches, fused=False)
+    # the epoch jit donates params — give each run its own buffers
+    pf, lf = run_f(jax.tree.map(jnp.copy, params0), key, data)
+    pu, lu = run_u(jax.tree.map(jnp.copy, params0), key, data)
+
+    np.testing.assert_allclose(float(lf), float(lu), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pf["entity"]), np.asarray(pu["entity"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pf["relation"]), np.asarray(pu["relation"]), atol=1e-6)
+
+
+def test_fused_epoch_rejected_for_unsupported_model(tiny_dataset):
+    from kb2e_tpu.train import step as step_lib
+
+    cfg = _cfg()
+    with pytest.raises(ValueError):
+        step_lib.make_epoch_runner(get_model("transh"), cfg, 8, 4, fused=True)
