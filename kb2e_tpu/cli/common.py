@@ -49,6 +49,8 @@ def build_parser(prog: str, description: str) -> argparse.ArgumentParser:
     # TPU-native extensions.
     add("update-mode", dest="update_mode", default="fast", choices=("fast", "parity"),
         help="fast = vectorised batch update; parity = reference-exact scan")
+    add("negatives", dest="num_negatives", type=int, default=1,
+        help="negatives per positive (1 = reference policy) [1]")
     add("eval-batch", dest="eval_batch_size", type=int, default=256)
     add("eval-block", dest="eval_block_size", type=int, default=4096)
     add("eval-impl", dest="eval_impl", default="auto", choices=("auto", "xla", "pallas"),
@@ -104,6 +106,7 @@ def config_from_args(args: argparse.Namespace) -> EmbeddingConfig:
         seed_method=C.Method.from_any(args.seed_method),
         seed=args.seed,
         update_mode=args.update_mode,
+        num_negatives=args.num_negatives,
         eval_batch_size=args.eval_batch_size,
         eval_block_size=args.eval_block_size,
         eval_impl=args.eval_impl,

@@ -39,6 +39,12 @@ class EmbeddingConfig:
     # first certified negative wins; miss probability is (deg/N)^rounds
     # (~1e-16 on FB15k-scale graphs at 4) and misses are masked from the loss.
     corruption_resample_rounds: int = 4
+    # Negatives drawn per positive (DGL-KE-style multi-negative training).
+    # 1 = the reference's single corruption per sample; K>1 flattens each
+    # batch into B·K (positive, negative) pairs — every violating pair
+    # applies the reference's margin update, raising arithmetic intensity
+    # per sampled positive.  Production knob; defaults to reference policy.
+    num_negatives: int = 1
     # Entity-axis block size for the blockwise evaluation sweep.
     eval_block_size: int = 4096
     # Evaluation query batch (number of (triple, direction) queries scored

@@ -51,6 +51,7 @@ def sample_batch(
     cuckoo_salt: int = 0,
     n_relations: int = 0,
     return_idx: bool = False,
+    num_negatives: int = 1,
 ) -> Batch:
     """Draw one training batch: positives + certified-negative corruptions.
 
@@ -60,6 +61,13 @@ def sample_batch(
     try budget).  With the cuckoo index that is ONE fused gather for the whole
     batch; the sequential-gather binary search only remains as the fallback
     for graphs where (h·R + r) overflows int32.
+
+    ``num_negatives`` K > 1 draws K certified negatives per positive (all on
+    the same corruption side — one coin per sample, like the reference) and
+    returns the batch FLATTENED to B·K rows with the positives repeated
+    sample-major (row b·K+j is sample b's j-th negative), so downstream
+    updates treat each (positive, negative) pair exactly like a reference
+    sample.  K = 1 reproduces the single-negative draw bit-for-bit.
     """
     n_triples = heads.shape[0]
     k_i, k_coin, k_cands = jax.random.split(key, 3)
@@ -74,12 +82,14 @@ def sample_batch(
     corrupt_tail = jax.random.uniform(k_coin, (batch_size,)) < p_tail
 
     n_cands = max(1, resample_rounds)
+    kneg = max(1, num_negatives)
     cands = jax.random.randint(
-        k_cands, (batch_size, n_cands), 0, n_entities, dtype=jnp.int32
+        k_cands, (batch_size, kneg, n_cands), 0, n_entities, dtype=jnp.int32
     )
-    qh = jnp.where(corrupt_tail[:, None], ph[:, None], cands)
-    qt = jnp.where(corrupt_tail[:, None], cands, pt[:, None])
-    qr = jnp.broadcast_to(r[:, None], (batch_size, n_cands))
+    ct = corrupt_tail[:, None, None]
+    qh = jnp.where(ct, ph[:, None, None], cands)
+    qt = jnp.where(ct, cands, pt[:, None, None])
+    qr = jnp.broadcast_to(r[:, None, None], cands.shape)
 
     if cuckoo_table is not None:
         bad = cuckoo.contains(
@@ -89,17 +99,26 @@ def sample_batch(
         bad = membership.contains(sorted_h, sorted_r, sorted_t, qh, qr, qt)
 
     ok = ~bad
-    first = jnp.argmax(ok, axis=1)  # first certified negative (0 if none)
-    valid = jnp.any(ok, axis=1)
-    j = jnp.take_along_axis(cands, first[:, None], axis=1)[:, 0]
+    first = jnp.argmax(ok, axis=2)  # first certified negative per slot (0 if none)
+    valid = jnp.any(ok, axis=2)  # [B, K]
+    j = jnp.take_along_axis(cands, first[..., None], axis=2)[..., 0]  # [B, K]
 
-    nh = jnp.where(corrupt_tail, ph, j)
-    nt = jnp.where(corrupt_tail, j, pt)
-    out = Batch(ph=ph, pt=pt, r=r, nh=nh, nt=nt, valid=valid)
+    nh = jnp.where(corrupt_tail[:, None], ph[:, None], j)
+    nt = jnp.where(corrupt_tail[:, None], j, pt[:, None])
+    if kneg == 1:
+        out = Batch(ph=ph, pt=pt, r=r, nh=nh[:, 0], nt=nt[:, 0], valid=valid[:, 0])
+        if return_idx:
+            # Index of each sampled positive triple — consumers with per-triple
+            # side data (e.g. PTransE's path store) gather by it.
+            out["idx"] = i
+        return out
+    rep = lambda x: jnp.repeat(x, kneg)  # noqa: E731 — sample-major tiling
+    out = Batch(
+        ph=rep(ph), pt=rep(pt), r=rep(r),
+        nh=nh.reshape(-1), nt=nt.reshape(-1), valid=valid.reshape(-1),
+    )
     if return_idx:
-        # Index of each sampled positive triple — consumers with per-triple
-        # side data (e.g. PTransE's path store) gather by it.
-        out["idx"] = i
+        out["idx"] = rep(i)
     return out
 
 

@@ -117,6 +117,7 @@ def make_train_step(model: Model, cfg: EmbeddingConfig, batch_size: int):
             cuckoo_salt=data.cuckoo_salt,
             n_relations=data.n_relations,
             return_idx=use_paths,
+            num_negatives=cfg.num_negatives,
         )
         if use_paths:
             batch = _with_path_data(k_nr, batch, data, cfg.corruption_resample_rounds)
@@ -223,11 +224,14 @@ def make_epoch_runner(
             cuckoo_salt=data.cuckoo_salt,
             n_relations=data.n_relations,
             return_idx=use_paths,
+            num_negatives=cfg.num_negatives,
         )
         if use_paths:
             big = _with_path_data(k_nr, big, data, cfg.corruption_resample_rounds)
+        # K>1 negatives flatten each batch to batch_size*K pair rows.
+        rows = batch_size * max(1, cfg.num_negatives)
         batches = Batch(
-            {k: v.reshape(num_batches, batch_size, *v.shape[1:]) for k, v in big.items()}
+            {k: v.reshape(num_batches, rows, *v.shape[1:]) for k, v in big.items()}
         )
 
         if fused:

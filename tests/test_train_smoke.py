@@ -73,3 +73,77 @@ def test_sampler_negatives_are_true_negatives(tiny_dataset):
     one_side = (nh == ph) ^ (nt == pt)
     both_same = (nh == ph) & (nt == pt)
     assert (one_side | both_same).all()
+
+
+def test_multi_negative_sampling(tiny_dataset):
+    """K>1 negatives: flattened B*K pair rows, positives tiled sample-major,
+    every certified row a true negative, same corruption side per sample."""
+    from kb2e_tpu.sampling import corruption
+
+    ts = tiny_dataset.train
+    data = step_lib.DeviceData.from_triple_set(ts)
+    key = jax.random.PRNGKey(0)
+    B, K = 128, 4
+    one = corruption.sample_batch(
+        key, data.heads, data.tails, data.rels, data.bern_pr_tail,
+        data.sorted_h, data.sorted_r, data.sorted_t,
+        n_entities=ts.n_entities, batch_size=B, method=Method.BERN,
+        num_negatives=1,
+    )
+    multi = corruption.sample_batch(
+        key, data.heads, data.tails, data.rels, data.bern_pr_tail,
+        data.sorted_h, data.sorted_r, data.sorted_t,
+        n_entities=ts.n_entities, batch_size=B, method=Method.BERN,
+        num_negatives=K,
+    )
+    assert multi["nh"].shape == (B * K,)
+    # Positives are the same draw, repeated sample-major.
+    np.testing.assert_array_equal(np.repeat(np.asarray(one["ph"]), K), np.asarray(multi["ph"]))
+    np.testing.assert_array_equal(np.repeat(np.asarray(one["r"]), K), np.asarray(multi["r"]))
+
+    known = set(zip(ts.sorted_h.tolist(), ts.sorted_r.tolist(), ts.sorted_t.tolist()))
+    nh, nt = np.asarray(multi["nh"]), np.asarray(multi["nt"])
+    r, valid = np.asarray(multi["r"]), np.asarray(multi["valid"])
+    assert valid.mean() > 0.95
+    for i in range(B * K):
+        if valid[i]:
+            assert (int(nh[i]), int(r[i]), int(nt[i])) not in known
+    # One corruption coin per sample: all K rows corrupt the same side.
+    ph, pt = np.asarray(multi["ph"]), np.asarray(multi["pt"])
+    tail_side = (nh == ph).reshape(B, K)
+    head_side = (nt == pt).reshape(B, K)
+    assert ((tail_side.all(1)) | (head_side.all(1))).all()
+
+
+def test_multi_negative_training_runs(tiny_dataset):
+    """End-to-end fused epoch with num_negatives=4 trains and reduces loss."""
+    import dataclasses
+
+    from kb2e_tpu.config import EmbeddingConfig
+    from kb2e_tpu.constants import Distance
+    from kb2e_tpu.models import get_model
+
+    ts = tiny_dataset.train
+    cfg = EmbeddingConfig(
+        embedding_size=16, learning_rate=0.02, margin=1.0, method=Method.BERN,
+        num_batches=8, max_epochs=10, distance=Distance.L1, seed=3,
+        num_negatives=4,
+    )
+    model = get_model("transe")
+    data = step_lib.DeviceData.from_triple_set(ts)
+    bs = step_lib.batch_size_for(ts.num_triples, cfg.num_batches)
+    params = model.init_params(jax.random.PRNGKey(1), ts.n_entities, ts.n_relations, cfg)
+    run = step_lib.make_epoch_runner(model, cfg, bs, cfg.num_batches)
+    key = jax.random.PRNGKey(2)
+    losses = []
+    for _ in range(10):
+        key, sk = jax.random.split(key)
+        params, loss = run(params, sk, data)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    # Unfused path accepts the flattened batches too.
+    cfg2 = dataclasses.replace(cfg)
+    params2 = model.init_params(jax.random.PRNGKey(1), ts.n_entities, ts.n_relations, cfg2)
+    run2 = step_lib.make_epoch_runner(model, cfg2, bs, cfg2.num_batches, fused=False)
+    params2, loss2 = run2(params2, jax.random.PRNGKey(5), data)
+    assert np.isfinite(float(loss2))
