@@ -140,11 +140,19 @@ def contains(
     qr: jax.Array,
     qt: jax.Array,
 ) -> jax.Array:
-    """Vectorized membership over any query shape; ONE fused gather."""
+    """Vectorized membership over any query shape.
+
+    The two slot probes gather from the FLATTENED table columns (1-D gathers
+    whose outputs keep the query's own shape).  Stacking the probes into
+    trailing [..., 2, 2] dims instead triggers TPU tile padding (each size-2
+    trailing dim pads to the (8, 128) tile — a 64x HBM expansion that OOMs
+    epoch-level presampling at FB15k scale with multi-negative batches).
+    """
     g = qh * n_relations + qr
     s0 = _hash_jnp(g, qt, salt, 0, m)
     s1 = _hash_jnp(g, qt, salt, 1, m) + m
-    slots = jnp.stack([s0, s1], axis=-1)  # [..., 2]
-    rows = jnp.take(table, slots, axis=0)  # [..., 2, 2] — one gather
-    match = (rows[..., 0] == g[..., None]) & (rows[..., 1] == qt[..., None])
-    return jnp.any(match, axis=-1)
+    keys = table[:, 0]
+    vals = table[:, 1]
+    hit0 = (keys[s0] == g) & (vals[s0] == qt)
+    hit1 = (keys[s1] == g) & (vals[s1] == qt)
+    return hit0 | hit1
