@@ -51,6 +51,9 @@ def build_parser(prog: str, description: str) -> argparse.ArgumentParser:
         help="fast = vectorised batch update; parity = reference-exact scan")
     add("negatives", dest="num_negatives", type=int, default=1,
         help="negatives per positive (1 = reference policy) [1]")
+    add("dtype", dest="param_dtype", default="float32",
+        choices=("float32", "bfloat16"),
+        help="embedding-table storage dtype (TransE/PTransE) [float32]")
     add("eval-batch", dest="eval_batch_size", type=int, default=256)
     add("eval-block", dest="eval_block_size", type=int, default=4096)
     add("eval-impl", dest="eval_impl", default="auto", choices=("auto", "xla", "pallas"),
@@ -107,6 +110,7 @@ def config_from_args(args: argparse.Namespace) -> EmbeddingConfig:
         seed=args.seed,
         update_mode=args.update_mode,
         num_negatives=args.num_negatives,
+        param_dtype=args.param_dtype,
         eval_batch_size=args.eval_batch_size,
         eval_block_size=args.eval_block_size,
         eval_impl=args.eval_impl,

@@ -45,6 +45,14 @@ class EmbeddingConfig:
     # applies the reference's margin update, raising arithmetic intensity
     # per sampled positive.  Production knob; defaults to reference policy.
     num_negatives: int = 1
+    # Embedding-table storage dtype: 'float32' (default) or 'bfloat16'.
+    # Training is throughput-bound on random row transactions (PERF.md);
+    # bf16 rows halve the bytes per access.  Update math still runs in
+    # float32 (rows are upcast after gather, deltas cast back before the
+    # scatter-add); quality impact measured in QUALITY.md.  TransE honours
+    # it; TransH/TransR/PTransE keep float32 (orthogonality loops and the
+    # path loss are precision-sensitive).
+    param_dtype: str = "float32"
     # Entity-axis block size for the blockwise evaluation sweep.
     eval_block_size: int = 4096
     # Evaluation query batch (number of (triple, direction) queries scored

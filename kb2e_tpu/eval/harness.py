@@ -117,6 +117,18 @@ def evaluate(
         test_triples = dataset.test
     if test_triples is None or test_triples[0].size == 0:
         raise ValueError("no test triples to evaluate")
+    # Low-precision training tables (param_dtype='bfloat16') are upcast once
+    # here; ranking/energy sweeps always score in float32.
+    params = {
+        k: (
+            v.astype(jnp.float32)
+            if hasattr(v, "dtype")
+            and jnp.issubdtype(v.dtype, jnp.floating)
+            and v.dtype != jnp.float32
+            else v
+        )
+        for k, v in params.items()
+    }
     th, tt, tr = (np.asarray(a, dtype=np.int64) for a in test_triples)
 
     # Filter set = train + valid + test (common/evaluation.cpp:55-61).

@@ -72,6 +72,9 @@ class PTransE(transe.TransE):
         k = cfg.embedding_size
         key, ki = jax.random.split(key)
         params = super().init_params(key, n_entities, n_relations, cfg)
+        # PTransE stays float32 regardless of param_dtype: the path loss and
+        # inverse-relation tables are not validated at low precision.
+        params = {kk: v.astype(jnp.float32) for kk, v in params.items()}
         params["relation_inv"] = projections.ball_norm(
             prng.transe_init(ki, (n_relations, k), k)
         )

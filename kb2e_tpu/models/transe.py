@@ -46,10 +46,18 @@ class TransE(base.Model):
         ent = prng.transe_init(ke, (n_entities, k), k)
         rel = prng.transe_init(kr, (n_relations, k), k)
         # prepTrain ball-norms every row after init (common/trainer.cpp:45-57).
-        return {"entity": projections.ball_norm(ent), "relation": projections.ball_norm(rel)}
+        dt = jnp.dtype(cfg.param_dtype)
+        return {
+            "entity": projections.ball_norm(ent).astype(dt),
+            "relation": projections.ball_norm(rel).astype(dt),
+        }
 
     def energy(self, params, h, t, r, distance: Distance) -> jax.Array:
-        res = params["entity"][t] - params["entity"][h] - params["relation"][r]
+        res = (
+            params["entity"][t].astype(jnp.float32)
+            - params["entity"][h].astype(jnp.float32)
+            - params["relation"][r].astype(jnp.float32)
+        )
         return distances.residual_energy(res, distance)
 
     def batch_update(self, params, batch: base.Batch, cfg: EmbeddingConfig) -> Tuple[base.Params, jax.Array]:
@@ -58,9 +66,9 @@ class TransE(base.Model):
         dist = self.effective_distance(cfg.distance)
         ph, pt, r, nh, nt = batch["ph"], batch["pt"], batch["r"], batch["nh"], batch["nt"]
 
-        rv = rel[r]
-        res_pos = ent[pt] - ent[ph] - rv
-        res_neg = ent[nt] - ent[nh] - rv
+        rv = rel[r].astype(jnp.float32)
+        res_pos = ent[pt].astype(jnp.float32) - ent[ph].astype(jnp.float32) - rv
+        res_neg = ent[nt].astype(jnp.float32) - ent[nh].astype(jnp.float32) - rv
         e_pos = distances.residual_energy(res_pos, dist)
         e_neg = distances.residual_energy(res_neg, dist)
 
@@ -74,10 +82,12 @@ class TransE(base.Model):
         # Positive triple uses modifier −1, corrupted +1 (transe/trainer.cpp:26).
         from kb2e_tpu.ops import scatter
 
-        rel = scatter.scatter_add(rel, r, lr * (x_pos - x_neg), cfg.scatter_mode)
+        rel = scatter.scatter_add(
+            rel, r, (lr * (x_pos - x_neg)).astype(rel.dtype), cfg.scatter_mode
+        )
         idx = jnp.concatenate([ph, pt, nh, nt])
         delta = jnp.concatenate([lr * x_pos, -lr * x_pos, -lr * x_neg, lr * x_neg])
-        ent = scatter.scatter_add(ent, idx, delta, cfg.scatter_mode)
+        ent = scatter.scatter_add(ent, idx, delta.astype(ent.dtype), cfg.scatter_mode)
 
         return (
             {"entity": projections.ball_norm(ent), "relation": projections.ball_norm(rel)},
@@ -108,7 +118,7 @@ class TransE(base.Model):
         ro = r + n_entities
 
         idx = jnp.concatenate([ph, pt, nh, nt, ro])
-        rows = table[idx]
+        rows = table[idx].astype(jnp.float32)
         b = ph.shape[0]
         hv, tv, nhv, ntv, rv = (rows[i * b:(i + 1) * b] for i in range(5))
         res_pos = tv - hv - rv
@@ -128,7 +138,7 @@ class TransE(base.Model):
         delta = jnp.concatenate(
             [lr * x_pos, -lr * x_pos, -lr * x_neg, lr * x_neg, lr * (x_pos - x_neg)]
         )
-        table = scatter.scatter_add(table, idx, delta, cfg.scatter_mode)
+        table = scatter.scatter_add(table, idx, delta.astype(table.dtype), cfg.scatter_mode)
         return projections.ball_norm(table), loss
 
     def sequential_update(self, params, batch: base.Batch, cfg: EmbeddingConfig) -> Tuple[base.Params, jax.Array]:

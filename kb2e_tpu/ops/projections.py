@@ -27,7 +27,10 @@ import jax.numpy as jnp
 
 
 def row_norms(x: jax.Array, axis: int = -1, keepdims: bool = True) -> jax.Array:
-    return jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=keepdims))
+    # Accumulate in float32 even for low-precision tables (bf16 squares lose
+    # half the mantissa); a float32 input passes through unchanged.
+    x32 = x.astype(jnp.float32)
+    return jnp.sqrt(jnp.sum(jnp.square(x32), axis=axis, keepdims=keepdims))
 
 
 def ball_norm(x: jax.Array) -> jax.Array:
@@ -36,7 +39,7 @@ def ball_norm(x: jax.Array) -> jax.Array:
     Reference ``norm(a)`` default path, common/utils.cpp:70-77.  Idempotent.
     """
     n = row_norms(x)
-    return jnp.where(n > 1.0, x / n, x)
+    return jnp.where(n > 1.0, (x.astype(jnp.float32) / n).astype(x.dtype), x)
 
 
 def sphere_norm(x: jax.Array) -> jax.Array:
@@ -45,7 +48,7 @@ def sphere_norm(x: jax.Array) -> jax.Array:
     Reference ``norm(a, false)``.  Rows of length zero would produce inf in
     the reference too; initialisation makes them measure-zero.
     """
-    return x / row_norms(x)
+    return (x.astype(jnp.float32) / row_norms(x)).astype(x.dtype)
 
 
 def orthogonality_project(

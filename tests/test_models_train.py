@@ -121,3 +121,31 @@ def test_fused_epoch_rejected_for_unsupported_model(tiny_dataset):
     cfg = _cfg()
     with pytest.raises(ValueError):
         step_lib.make_epoch_runner(get_model("transh"), cfg, 8, 4, fused=True)
+
+
+def test_transe_bf16_tables_train_and_eval(tiny_dataset):
+    """param_dtype='bfloat16' halves row bytes (the measured bound, PERF.md);
+    update math stays float32.  Training must still learn and evaluate."""
+    import dataclasses
+
+    from kb2e_tpu.train import step as step_lib
+
+    ts = tiny_dataset.train
+    cfg = _cfg(max_epochs=15)
+    cfg = dataclasses.replace(cfg, param_dtype="bfloat16")
+    model = get_model("transe")
+    data = step_lib.DeviceData.from_triple_set(ts)
+    bs = step_lib.batch_size_for(ts.num_triples, cfg.num_batches)
+    params = model.init_params(jax.random.PRNGKey(1), ts.n_entities, ts.n_relations, cfg)
+    assert params["entity"].dtype == jnp.bfloat16
+    run = step_lib.make_epoch_runner(model, cfg, bs, cfg.num_batches)
+    key = jax.random.PRNGKey(2)
+    losses = []
+    for _ in range(cfg.max_epochs):
+        key, sk = jax.random.split(key)
+        params, loss = run(params, sk, data)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert params["entity"].dtype == jnp.bfloat16  # survives the epoch scan
+    metrics = harness.evaluate(model, params, tiny_dataset, cfg)
+    assert metrics["filtered_hits10"] > 0.2, metrics
