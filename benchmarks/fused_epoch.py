@@ -32,8 +32,9 @@ for spec in specs:
     parts = spec.split(":")
     kind, unroll = parts[0], int(parts[1])
     scatter_mode = parts[2] if len(parts) > 2 else "direct"
+    dtype = parts[3] if len(parts) > 3 else "float32"
     import dataclasses
-    c = dataclasses.replace(cfg, scatter_mode=scatter_mode)
+    c = dataclasses.replace(cfg, scatter_mode=scatter_mode, param_dtype=dtype)
     key = jax.random.PRNGKey(42)
     params = model.init_params(key, ts.n_entities, ts.n_relations, c)
     run = step_lib.make_epoch_runner(model, c, bs, NB, unroll=unroll,

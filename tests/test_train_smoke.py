@@ -147,3 +147,36 @@ def test_multi_negative_training_runs(tiny_dataset):
     run2 = step_lib.make_epoch_runner(model, cfg2, bs, cfg2.num_batches, fused=False)
     params2, loss2 = run2(params2, jax.random.PRNGKey(5), data)
     assert np.isfinite(float(loss2))
+
+
+def test_bfloat16_storage_trains_and_evals(tiny_dataset):
+    """param_dtype='bfloat16' (the production bandwidth knob, PERF.md): tables
+    stay bf16 through the fused epoch runner, math runs in fp32, loss drops,
+    and the eval harness upcasts to fp32 ranks that beat chance."""
+    import jax.numpy as jnp
+
+    ts = tiny_dataset.train
+    cfg = EmbeddingConfig(
+        embedding_size=16, learning_rate=0.02, margin=1.0, method=Method.BERN,
+        num_batches=8, max_epochs=30, distance=Distance.L1, seed=11,
+        eval_block_size=16, eval_batch_size=64, param_dtype="bfloat16",
+    )
+    model = get_model("transe")
+    data = step_lib.DeviceData.from_triple_set(ts)
+    bs = step_lib.batch_size_for(ts.num_triples, cfg.num_batches)
+    params = model.init_params(jax.random.PRNGKey(1), ts.n_entities, ts.n_relations, cfg)
+    assert params["entity"].dtype == jnp.bfloat16
+    run = step_lib.make_epoch_runner(model, cfg, bs, cfg.num_batches)
+    key = jax.random.PRNGKey(2)
+    losses = []
+    for _ in range(cfg.max_epochs):
+        key, sk = jax.random.split(key)
+        params, loss = run(params, sk, data)
+        losses.append(float(loss))
+    assert params["entity"].dtype == jnp.bfloat16
+    assert params["relation"].dtype == jnp.bfloat16
+    assert losses[-1] < losses[0] * 0.8, losses[:3] + losses[-3:]
+    metrics = harness.evaluate(model, params, tiny_dataset, cfg)
+    assert metrics["filtered_hits10"] > 0.35, metrics
+    norms = np.linalg.norm(np.asarray(params["entity"], dtype=np.float32), axis=1)
+    assert (norms <= 1.0 + 1e-2).all()
