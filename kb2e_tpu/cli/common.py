@@ -64,6 +64,8 @@ def build_parser(prog: str, description: str) -> argparse.ArgumentParser:
         help="mesh model-parallel axis size (entity-table sharding)")
     add("metrics-jsonl", dest="metrics_jsonl", default=None,
         help="append per-epoch JSONL metrics to this path")
+    add("tensorboard-dir", dest="tensorboard_dir", default=None,
+        help="also stream per-epoch scalar metrics to a TensorBoard log dir")
     add("checkpoint-dir", dest="checkpoint_dir", default=None,
         help="directory for periodic Orbax checkpoints")
     add("checkpoint-every", dest="checkpoint_every", type=int, default=0,

@@ -28,6 +28,7 @@ def run_training(
     model_name: str,
     cfg: EmbeddingConfig,
     metrics_jsonl=None,
+    tensorboard_dir=None,
     checkpoint_dir=None,
     checkpoint_every=0,
     resume=False,
@@ -67,12 +68,16 @@ def run_training(
         )
 
     logger = log_lib.jsonl_logger(metrics_jsonl) if metrics_jsonl else None
+    metrics_fn = log_lib.fan_out(
+        logger.log if logger else None,
+        log_lib.TensorBoardSink(tensorboard_dir) if tensorboard_dir else None,
+    )
     params = train_loop.train(
         model,
         cfg,
         ts,
         init_params=init_params,
-        metrics_fn=(logger.log if logger else None),
+        metrics_fn=metrics_fn,
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
         resume=resume,
@@ -179,6 +184,7 @@ def main(argv=None, model_name=None):
             model_name or args.model,
             cfg,
             metrics_jsonl=args.metrics_jsonl,
+            tensorboard_dir=args.tensorboard_dir,
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_every=args.checkpoint_every,
             resume=args.resume,

@@ -35,3 +35,46 @@ class MetricsLogger:
 def jsonl_logger(path: Optional[str] = None) -> MetricsLogger:
     stream = open(path, "a", encoding="utf-8") if path else sys.stdout
     return MetricsLogger(stream=stream)
+
+
+class TensorBoardSink:
+    """Optional TensorBoard scalar sink (survey §5.5 'optional TensorBoard').
+
+    Lazily imports ``torch.utils.tensorboard`` so the core framework keeps no
+    TensorBoard dependency; constructing the sink without the package raises
+    with a pointer to the JSONL sink that always works.
+    """
+
+    def __init__(self, log_dir: str):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+        except ImportError as e:  # pragma: no cover - env always has torch
+            raise ImportError(
+                "TensorBoard logging needs the 'tensorboard' package; use the "
+                "JSONL metrics sink (--metrics-jsonl) instead"
+            ) from e
+        self._writer = SummaryWriter(log_dir)
+
+    def __call__(self, record: dict) -> None:
+        step = int(record.get("epoch", 0))
+        for key, value in record.items():
+            if key in ("ts", "epoch"):
+                continue
+            if isinstance(value, (int, float)):
+                self._writer.add_scalar(key, value, step)
+        self._writer.flush()
+
+
+def fan_out(*fns: Optional[Callable[[dict], None]]) -> Optional[Callable[[dict], None]]:
+    """Compose metric sinks; None entries are dropped (None if all are)."""
+    live = [f for f in fns if f is not None]
+    if not live:
+        return None
+    if len(live) == 1:
+        return live[0]
+
+    def emit(record: dict) -> None:
+        for f in live:
+            f(record)
+
+    return emit

@@ -71,3 +71,20 @@ def test_param_specs_cover_every_model(name):
     placed = shard_lib.place_params(m, params)
     for k, v in placed.items():
         np.testing.assert_array_equal(np.asarray(v), np.asarray(params[k]))
+
+
+def test_tensorboard_sink_and_fan_out(tmp_path):
+    """Optional TensorBoard metrics sink (survey §5.5): scalars land in an
+    events file; fan_out composes it with the JSONL sink."""
+    from kb2e_tpu.utils import logging as log_lib
+
+    seen = []
+    sink = log_lib.TensorBoardSink(str(tmp_path))
+    fn = log_lib.fan_out(seen.append, sink, None)
+    fn({"epoch": 3, "loss": 1.5, "triples_per_s": 10.0, "note": "text-skipped"})
+    assert seen and seen[0]["loss"] == 1.5
+    events = [f for f in os.listdir(tmp_path) if "tfevents" in f]
+    assert events, os.listdir(tmp_path)
+    assert log_lib.fan_out(None, None) is None
+    one = seen.append
+    assert log_lib.fan_out(one, None) is one
