@@ -68,23 +68,25 @@ def run_training(
         )
 
     logger = log_lib.jsonl_logger(metrics_jsonl) if metrics_jsonl else None
-    metrics_fn = log_lib.fan_out(
-        logger.log if logger else None,
-        log_lib.TensorBoardSink(tensorboard_dir) if tensorboard_dir else None,
-    )
-    params = train_loop.train(
-        model,
-        cfg,
-        ts,
-        init_params=init_params,
-        metrics_fn=metrics_fn,
-        checkpoint_dir=checkpoint_dir,
-        checkpoint_every=checkpoint_every,
-        resume=resume,
-        eval_every=eval_every,
-        eval_fn=(_make_valid_eval(model, cfg, dataset) if eval_every else None),
-        path_store=path_store,
-    )
+    tb_sink = log_lib.TensorBoardSink(tensorboard_dir) if tensorboard_dir else None
+    metrics_fn = log_lib.fan_out(logger.log if logger else None, tb_sink)
+    try:
+        params = train_loop.train(
+            model,
+            cfg,
+            ts,
+            init_params=init_params,
+            metrics_fn=metrics_fn,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
+            resume=resume,
+            eval_every=eval_every,
+            eval_fn=(_make_valid_eval(model, cfg, dataset) if eval_every else None),
+            path_store=path_store,
+        )
+    finally:
+        if tb_sink is not None:
+            tb_sink.close()
 
     host = {k: np.asarray(v) for k, v in params.items()}
     weights = None

@@ -57,6 +57,10 @@ class Model(abc.ABC):
     uses_distance_flag: bool = True
     # True if evaluation needs a per-relation projection of the entity table.
     needs_projection: bool = False
+    # False for models with no reference binary to be faithful to (CTransR,
+    # PTransE): their ``sequential_update`` aliases ``batch_update`` and
+    # ``--update-mode parity`` is a no-op (warned about in the train loop).
+    has_parity_mode: bool = True
 
     @abc.abstractmethod
     def init_params(self, key: jax.Array, n_entities: int, n_relations: int, cfg: EmbeddingConfig) -> Params:

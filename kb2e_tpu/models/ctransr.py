@@ -221,6 +221,8 @@ class CTransR(transr.TransR):
             loss,
         )
 
+    has_parity_mode = False
+
     def sequential_update(self, params, batch: base.Batch, cfg: EmbeddingConfig):
         # CTransR has no reference binary to be numerically faithful to
         # (the fork ships no CTransR code — survey §0.1); the vectorised path

@@ -147,6 +147,8 @@ class PTransE(transe.TransE):
             out["comp_w"] = comp_w
         return out, loss + path_loss
 
+    has_parity_mode = False
+
     def sequential_update(self, params, batch: base.Batch, cfg: EmbeddingConfig):
         # No reference binary exists for PTransE (survey §0.1) — the
         # vectorised path IS the defining semantics.

@@ -43,6 +43,15 @@ def train(
     (survey §5.4's mid-training resume — the reference only writes once at
     the end); ``resume=True`` restarts from the latest checkpoint found.
     """
+    if cfg.update_mode == "parity" and not model.has_parity_mode:
+        import warnings
+
+        warnings.warn(
+            f"--update-mode parity has no effect for {model.name}: no "
+            "reference binary exists to be sequentially faithful to, so the "
+            "vectorised update is the defining semantics.",
+            stacklevel=2,
+        )
     seed = cfg.resolved_seed()
     key = jax.random.PRNGKey(seed)
 

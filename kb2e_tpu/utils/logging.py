@@ -50,8 +50,9 @@ class TensorBoardSink:
             from torch.utils.tensorboard import SummaryWriter
         except ImportError as e:  # pragma: no cover - env always has torch
             raise ImportError(
-                "TensorBoard logging needs the 'tensorboard' package; use the "
-                "JSONL metrics sink (--metrics-jsonl) instead"
+                "TensorBoard logging needs torch with the 'tensorboard' "
+                "package installed; use the JSONL metrics sink "
+                "(--metrics-jsonl) instead"
             ) from e
         self._writer = SummaryWriter(log_dir)
 
@@ -60,9 +61,14 @@ class TensorBoardSink:
         for key, value in record.items():
             if key in ("ts", "epoch"):
                 continue
-            if isinstance(value, (int, float)):
+            # bools are ints in Python; logging them as 0/1 scalars would be
+            # silent garbage — skip them.
+            if isinstance(value, (int, float)) and not isinstance(value, bool):
                 self._writer.add_scalar(key, value, step)
         self._writer.flush()
+
+    def close(self) -> None:
+        self._writer.close()
 
 
 def fan_out(*fns: Optional[Callable[[dict], None]]) -> Optional[Callable[[dict], None]]:

@@ -149,3 +149,17 @@ def test_transe_bf16_tables_train_and_eval(tiny_dataset):
     assert params["entity"].dtype == jnp.bfloat16  # survives the epoch scan
     metrics = harness.evaluate(model, params, tiny_dataset, cfg)
     assert metrics["filtered_hits10"] > 0.2, metrics
+
+
+def test_parity_mode_warns_for_models_without_reference(tiny_dataset):
+    """CTransR/PTransE have no reference binary; --update-mode parity is a
+    documented no-op and must say so instead of staying silent (round-1
+    review)."""
+    import warnings
+
+    cfg = _cfg(update_mode="parity", max_epochs=1)
+    model = get_model("ctransr")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        train_loop.train(model, cfg, tiny_dataset.train, verbose=False)
+    assert any("parity has no effect" in str(w.message) for w in rec)

@@ -81,8 +81,10 @@ def test_tensorboard_sink_and_fan_out(tmp_path):
     seen = []
     sink = log_lib.TensorBoardSink(str(tmp_path))
     fn = log_lib.fan_out(seen.append, sink, None)
-    fn({"epoch": 3, "loss": 1.5, "triples_per_s": 10.0, "note": "text-skipped"})
+    fn({"epoch": 3, "loss": 1.5, "triples_per_s": 10.0, "note": "text-skipped",
+        "resumed": True})  # bools must not be logged as 0/1 scalars
     assert seen and seen[0]["loss"] == 1.5
+    sink.close()  # long-lived/embedded use needs the writer thread shut down
     events = [f for f in os.listdir(tmp_path) if "tfevents" in f]
     assert events, os.listdir(tmp_path)
     assert log_lib.fan_out(None, None) is None
