@@ -31,6 +31,38 @@ def restore(path: str) -> Tuple[Dict[str, Any], int]:
     return payload["params"], int(payload["meta"]["step"])
 
 
+def restore_sharded(path: str, shardings: Dict[str, Any]) -> Tuple[Dict[str, Any], int]:
+    """Restore a checkpoint directly onto a (possibly multi-process) mesh.
+
+    ``shardings`` maps param names to ``jax.sharding.Sharding``; every array
+    is materialised as a global jax.Array with that sharding — each process
+    reads only its own shards from the tensorstore payload.  This is the
+    multi-host resume path (survey §5.3): after a host failure, all processes
+    re-initialise and call this with the same global shardings.
+    """
+    import jax
+    import orbax.checkpoint as ocp
+
+    del jax  # structure is known; no tree walking needed
+    ckptr = _checkpointer()
+    abs_path = os.path.abspath(path)
+    meta = ckptr.metadata(abs_path)
+    tree = (meta.item_metadata if hasattr(meta, "item_metadata") else meta).tree
+    restore_args = {
+        "params": {
+            name: ocp.ArrayRestoreArgs(
+                sharding=shardings[name],
+                global_shape=tuple(m.shape),
+                dtype=m.dtype,
+            )
+            for name, m in tree["params"].items()
+        },
+        "meta": {name: ocp.RestoreArgs() for name in tree["meta"]},
+    }
+    payload = ckptr.restore(abs_path, restore_args=restore_args)
+    return payload["params"], int(payload["meta"]["step"])
+
+
 def latest_in(dir_path: str, prefix: str = "ckpt_") -> Optional[str]:
     """Most recent checkpoint directory under ``dir_path`` by step suffix."""
     if not os.path.isdir(dir_path):

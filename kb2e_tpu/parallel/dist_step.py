@@ -95,11 +95,22 @@ def make_distributed_train_step(
 
 
 def replicate_data(mesh: Mesh, data: DeviceData) -> DeviceData:
-    """Place the triple store replicated on every device of the mesh."""
+    """Place the triple store replicated on every device of the mesh.
+
+    Works under multi-process execution too: committed single-device arrays
+    can't be device_put onto a multi-process sharding directly, so they take
+    one round-trip through host memory (the triple store is int32 SoA — tiny
+    next to the parameter tables, and this runs once per training).
+    """
     rep = NamedSharding(mesh, P())
+    multiprocess = jax.process_count() > 1
 
     def place(x):
-        return jax.device_put(x, rep) if hasattr(x, "shape") else x
+        if not hasattr(x, "shape"):
+            return x
+        import numpy as np
+
+        return jax.device_put(np.asarray(x) if multiprocess else x, rep)
 
     # Field-wise (not positional) so optional fields stay aligned.
     return data._replace(

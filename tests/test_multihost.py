@@ -16,6 +16,11 @@ def test_partition_edges_covers_and_balances():
     assert len(sizes) == 1  # equal shard sizes (wrap-padded)
     covered = np.unique(np.concatenate([s[0] for s in shards]))
     assert covered.shape[0] == n  # every edge appears on some host
+    # The valid masks tile the global list EXACTLY once — wrap-padded
+    # duplicates are flagged, not silently double-counted.
+    kept = np.concatenate([s[0][s[3]] for s in shards])
+    assert kept.shape[0] == n
+    np.testing.assert_array_equal(np.sort(kept), np.arange(n))
 
 
 def test_global_bern_stats_single_process_exact():
@@ -26,6 +31,35 @@ def test_global_bern_stats_single_process_exact():
     want = T.bern_tail_probability(h, t, r, 7)
     got = multihost.global_bern_stats(h, t, r, 7)
     np.testing.assert_allclose(got, want)
+
+
+def test_bern_group_merge_is_exact_across_shards():
+    """The cross-host merge math: per-shard distinct-(r, entity) count maps,
+    concatenated and merged by summing counts, must reproduce the whole-list
+    statistics bitwise even when groups span shard boundaries (the case the
+    old approximation got wrong).  Multi-process execution of the same path
+    is covered by tests/test_multiprocess.py."""
+    rng = np.random.default_rng(1)
+    n, n_rel = 997, 5
+    # Low entity cardinality => most (r, entity) groups span both shards.
+    h = rng.integers(0, 12, n).astype(np.int32)
+    t = rng.integers(0, 12, n).astype(np.int32)
+    r = rng.integers(0, n_rel, n).astype(np.int32)
+    want = T.bern_tail_probability(h, t, r, n_rel)
+
+    rows = []
+    for pid in range(3):
+        sh, st, sr, valid = multihost.partition_edges(h, t, r, pid, 3)
+        sh, st, sr = sh[valid], st[valid], sr[valid]
+        rows.append(multihost._local_group_counts(sr, st, direction=0))
+        rows.append(multihost._local_group_counts(sr, sh, direction=1))
+    allrows = np.concatenate(rows, axis=0)
+    key = allrows[:, :3]
+    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    counts = np.bincount(inv, weights=allrows[:, 3].astype(np.float64))
+    merged = np.concatenate([uniq, counts.astype(np.int64)[:, None]], axis=1)
+    got = multihost._stats_from_groups(merged, n_rel)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_corruption_fallback_without_cuckoo(tiny_dataset):
