@@ -119,6 +119,77 @@ def test_transr_parity(distance):
         assert float(loss) == pytest.approx(float(oloss), abs=1e-2)
 
 
+def test_fast_parity_bridge_statistical(tiny_dataset):
+    """Fast (vectorised) vs parity (sequential) mode at REALISTIC collision
+    rates: the same injected sample stream drives both update paths for 25
+    batches on the planted KG (64 entities, B=128 — heavy row collisions),
+    and the divergence must stay bounded:
+
+    * per-batch relative loss gap (different norm interleaving => different
+      violation sets) bounded,
+    * converged quality (filtered MeanRank / Hits@10 on the test split)
+      agrees — the parameter tables themselves diverge pointwise (two chaotic
+      numerical paths), the SEMANTICS must not.
+
+    Tolerances are 2-3x the measured values (max rel loss gap 0.104, mean
+    0.021, |dMR| 0.11, |dHits| 0.019 at seed 3).
+    """
+    import jax
+
+    from kb2e_tpu.data import triples as T
+    from kb2e_tpu.eval import harness
+
+    ds = tiny_dataset
+    ts = ds.train
+    known = set(zip(ts.sorted_h.tolist(), ts.sorted_r.tolist(), ts.sorted_t.tolist()))
+    rng = np.random.default_rng(3)
+    n_ent, b, n_batches = ts.n_entities, 128, 25
+
+    def stream():
+        idx = rng.integers(0, ts.num_triples, b)
+        ph, pt, r = ts.heads[idx], ts.tails[idx], ts.rels[idx]
+        corrupt_tail = rng.random(b) < ts.bern_pr_tail[r]
+        nh, nt = ph.copy(), pt.copy()
+        for i in range(b):
+            while True:
+                j = rng.integers(0, n_ent)
+                cand = (ph[i], r[i], j) if corrupt_tail[i] else (j, r[i], pt[i])
+                if tuple(int(x) for x in cand) not in known:
+                    break
+            if corrupt_tail[i]:
+                nt[i] = j
+            else:
+                nh[i] = j
+        return ph, pt, r, nh, nt
+
+    cfg = EmbeddingConfig(embedding_size=16, learning_rate=0.02, margin=1.0,
+                          distance=Distance.L1)
+    model = get_model("transe")
+    p0 = model.init_params(jax.random.PRNGKey(0), ts.n_entities, ts.n_relations, cfg)
+
+    def to_batch(s):
+        ph, pt, r, nh, nt = (jnp.asarray(a, jnp.int32) for a in s)
+        return Batch(ph=ph, pt=pt, r=r, nh=nh, nt=nt, valid=jnp.ones(b, bool))
+
+    pf, ps = dict(p0), dict(p0)
+    gaps = []
+    for _ in range(n_batches):
+        batch = to_batch(stream())
+        pf, lf = model.batch_update(pf, batch, cfg)
+        ps, ls = model.sequential_update(ps, batch, cfg)
+        gaps.append(abs(float(lf) - float(ls)) / max(float(ls), 1e-9))
+    assert max(gaps) < 0.25, gaps
+    assert np.mean(gaps) < 0.08, gaps
+
+    mf = harness.evaluate(model, pf, ds, cfg)
+    ms = harness.evaluate(model, ps, ds, cfg)
+    assert abs(mf["filtered_mean_rank"] - ms["filtered_mean_rank"]) <= 3.0
+    assert abs(mf["filtered_hits10"] - ms["filtered_hits10"]) <= 0.08
+    # Both must beat chance (10/64) clearly — the bridge is between two
+    # LEARNING runs, not two random walks.
+    assert min(mf["filtered_hits10"], ms["filtered_hits10"]) > 0.3
+
+
 def test_fast_mode_matches_parity_when_no_conflicts():
     """With every sample touching disjoint rows and projections inactive, the
     vectorised fast path must equal the sequential path exactly (the only
