@@ -23,12 +23,15 @@ import time
 import numpy as np
 
 # Reference C++ throughput measured on this host's CPU (triples/s), same
-# synthetic KG, 3 epochs of train-loop time (see PERF.md "baseline of record").
-# TransH/TransR measured 2026-08-20 with the same harness as TransE's 105.8k.
+# synthetic KG.  Methodology (2026-08-20): wall(epochs=b) - wall(epochs=a)
+# over (b - a) epochs isolates the train loop from load/stats time.
+# trainTransE 2.93s/epoch, trainTransH 5.29s/epoch, trainTransR 133.3s/epoch
+# (O(k^2) per triple, single thread).  CTransR/PTransE have no reference
+# binary (survey §0.1); the TransE figure anchors those lines.
 REFERENCE_CPU_TRIPLES_PER_S = {
-    "transe": 105_800.0,
-    "transh": None,  # filled by --measure-reference or the PERF.md constant
-    "transr": None,
+    "transe": 164_672.0,
+    "transh": 91_354.0,
+    "transr": 3_624.0,
     "ctransr": None,  # no reference binary; TransE figure used as family anchor
     "ptranse": None,
 }

@@ -187,24 +187,36 @@ def evaluate(
     rel_table = params["relation"]
     cluster_aware = getattr(model, "cluster_aware", False)
     sharded_rank_fn = None
-    if mesh is not None and not cluster_aware:
+    sharded_cluster_fn = None
+    if mesh is not None:
         from kb2e_tpu.parallel import eval as par_eval
 
-        sharded_rank_fn = par_eval.make_sharded_rank_fn(mesh, distance, block_size)
         model_sharding = jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec("model", None)
         )
+        if cluster_aware:
+            sharded_cluster_fn = par_eval.make_sharded_cluster_rank_fn(
+                mesh, distance, block_size
+            )
+        else:
+            sharded_rank_fn = par_eval.make_sharded_rank_fn(mesh, distance, block_size)
     if cluster_aware:
         from kb2e_tpu.eval import ranking_cluster
 
-        entity_padded = ranking.pad_entities(entity_table, block_size)
+        if sharded_cluster_fn is not None:
+            entity_padded = ranking.pad_entities(
+                entity_table, block_size * mesh.shape["model"]
+            )
+            entity_padded = jax.device_put(entity_padded, model_sharding)
+        else:
+            entity_padded = ranking.pad_entities(entity_table, block_size)
     processed = 0
     for rel_id, idxs in group_iter:
         if model.needs_projection:
             proj = model.project_entities(params, jnp.int32(rel_id))
         else:
             proj = entity_table
-        if sharded_rank_fn is not None:
+        if sharded_rank_fn is not None or sharded_cluster_fn is not None:
             # Each model-axis shard must hold a whole number of blocks.
             proj_padded = ranking.pad_entities(proj, block_size * mesh.shape["model"])
             proj_padded = jax.device_put(proj_padded, model_sharding)
@@ -239,7 +251,25 @@ def evaluate(
 
             anchor_d = jnp.asarray(anchor, dtype=jnp.int32)
             true_d = jnp.asarray(true, dtype=jnp.int32)
-            if cluster_aware:
+            if cluster_aware and sharded_cluster_fn is not None:
+                from kb2e_tpu.parallel import eval as par_eval
+
+                raw_r, filt_r = par_eval.sharded_rank_queries_clustered(
+                    mesh,
+                    proj_padded,
+                    entity_padded,
+                    proj_padded[anchor_d],
+                    entity_padded[anchor_d],
+                    jnp.asarray(sign),
+                    model.cluster_vectors(params, jnp.int32(rel_id)),
+                    model.cluster_centers(params, jnp.int32(rel_id)),
+                    true_d,
+                    jnp.asarray(cands),
+                    distance,
+                    block_size,
+                    rank_fn=sharded_cluster_fn,
+                )
+            elif cluster_aware:
                 raw_r, filt_r = ranking_cluster.rank_queries_clustered(
                     proj_padded,
                     entity_padded,

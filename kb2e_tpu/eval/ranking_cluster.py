@@ -36,6 +36,32 @@ def _assign(u_block, v, sign, ce_sq):
     return jnp.argmin(score, axis=-1)  # [B, Nb]
 
 
+def routed_energy(
+    rows_p, rows_e, anchor_proj, v, sign, ce_sq, cluster_vecs, centers, distance
+):
+    """Cluster-routed energies of gathered candidate rows.
+
+    ``rows_p``/``rows_e`` are [B, k] or [B, K, k] (projected / raw rows of the
+    candidates); anchors are per-query.  Each candidate picks the cluster
+    whose center is nearest its offset to the anchor, then scores against
+    that cluster's relation vector.  Shared by the local and the sharded
+    (parallel/eval.py) rank sweeps so routing semantics cannot drift.
+    """
+    u = jnp.einsum("...k,ck->...c", rows_e, centers)
+    if rows_p.ndim == 2:
+        s = sign[:, None]
+        vv = v
+        anchor = anchor_proj
+    else:
+        s = sign[:, None, None]
+        vv = v[:, None, :]
+        anchor = anchor_proj[:, None, :]
+    score = -2.0 * s * u + 2.0 * s * vv + ce_sq
+    cid = jnp.argmin(score, axis=-1)  # [B] or [B, K]
+    q = anchor + jnp.squeeze(s, -1)[..., None] * cluster_vecs[cid]
+    return distances.residual_energy(rows_p - q, distance)
+
+
 def _energies_by_cluster(rows, queries_c, distance):
     """rows [Nb,k], queries_c [B,C,k] -> [B, Nb, C] energies."""
     if distance == Distance.L2:
@@ -76,21 +102,10 @@ def rank_queries_clustered(
 
     def energy_of(idx):
         """Cluster-routed energies of candidate rows ``idx`` ([B] or [B,K])."""
-        rows_p = proj_padded[idx]  # [..., k]
-        rows_e = entity_padded[idx]
-        u = jnp.einsum("...k,ck->...c", rows_e, centers)  # [..., C]
-        if idx.ndim == 1:
-            s = sign[:, None]
-            vv = v
-            anchor = anchor_proj
-        else:
-            s = sign[:, None, None]
-            vv = v[:, None, :]
-            anchor = anchor_proj[:, None, :]
-        score = -2.0 * s * u + 2.0 * s * vv + ce_sq
-        cid = jnp.argmin(score, axis=-1)  # [B] or [B, K]
-        q = anchor + jnp.squeeze(s, -1)[..., None] * cluster_vecs[cid]
-        return distances.residual_energy(rows_p - q, distance)
+        return routed_energy(
+            proj_padded[idx], entity_padded[idx], anchor_proj, v, sign,
+            ce_sq, cluster_vecs, centers, distance,
+        )
 
     e_true = energy_of(true_idx)  # [B]
 

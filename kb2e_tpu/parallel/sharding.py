@@ -7,7 +7,11 @@ Design rules (survey §5.8):
 * TransR proj [R, k, k]    — sharded over ``model`` on the relation axis
                              (the other big table: FB15k is 1345·k² floats),
 * TransH norms [R, k]      — replicated like relations,
-* CTransR relation_c/centers [R, C, k] — replicated,
+* CTransR relation_c/centers [R, C, k] — sharded over ``model`` on the
+                             relation axis: the expert-parallel analogue
+                             (survey §2.1 — per-relation-cluster vectors ≈
+                             routed experts; routing is the per-triple
+                             nearest-center assignment),
 * batches [B]              — sharded over ``data``.
 """
 
@@ -22,8 +26,8 @@ PARAM_SPECS: Dict[str, P] = {
     "relation": P(None, None),
     "norm": P(None, None),
     "proj": P("model", None, None),
-    "relation_c": P(None, None, None),
-    "centers": P(None, None, None),
+    "relation_c": P("model", None, None),
+    "centers": P("model", None, None),
     # PTransE: inverse-relation table and RNN composition matrix — small,
     # replicated like the relation table.
     "relation_inv": P(None, None),

@@ -30,7 +30,7 @@ def tiny_ts():
     return TripleSet.from_arrays(h, t, r, n_entities=N_ENT, n_relations=N_REL)
 
 
-@pytest.mark.parametrize("model_name", ["transe", "transh", "transr", "ptranse"])
+@pytest.mark.parametrize("model_name", ["transe", "transh", "transr", "ctransr", "ptranse"])
 def test_distributed_step_matches_single_device(tiny_ts, model_name):
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     cfg = EmbeddingConfig(embedding_size=K, learning_rate=0.02, margin=1.0,
@@ -48,6 +48,15 @@ def test_distributed_step_matches_single_device(tiny_ts, model_name):
             tiny_ts.heads, tiny_ts.tails, tiny_ts.rels, tiny_ts.n_relations,
             use_native=False,
         )
+    if model_name == "ctransr":
+        # EP analogue: relation_c/centers shard over 'model' (PARAM_SPECS).
+        from kb2e_tpu.models import ctransr as ctransr_lib
+
+        centers = ctransr_lib.build_centers(
+            np.asarray(params0["entity"]), tiny_ts.heads, tiny_ts.tails,
+            tiny_ts.rels, N_REL, model.n_clusters, seed=0,
+        )
+        params0 = model.with_centers(params0, centers)
 
     # Both steps donate their params input; give each its own copy.
     host0 = {k: np.asarray(v) for k, v in params0.items()}
@@ -123,6 +132,65 @@ def test_mesh_fused_epoch_matches_single_device(tiny_ts):
     for k in p_single:
         np.testing.assert_allclose(
             np.asarray(p_single[k]), np.asarray(p_dist[k]), atol=2e-6)
+
+
+def test_sharded_cluster_rank_matches_local():
+    """CTransR's candidate-routed rank sweep: sharded == local, exactly."""
+    from kb2e_tpu.eval import ranking_cluster
+
+    rng = np.random.default_rng(4)
+    n_q, n_c = 16, 4
+    ent = (np.round(rng.normal(size=(N_ENT, K)) * 8) / 8).astype(np.float32)
+    proj_tab = (np.round(rng.normal(size=(N_ENT, K)) * 8) / 8).astype(np.float32)
+    cvecs = (np.round(rng.normal(size=(n_c, K)) * 8) / 8).astype(np.float32)
+    centers = (np.round(rng.normal(size=(n_c, K)) * 8) / 8).astype(np.float32)
+    anchors = rng.integers(0, N_ENT, n_q)
+    sign = np.where(rng.random(n_q) < 0.5, 1.0, -1.0).astype(np.float32)
+    true_idx = rng.integers(0, N_ENT, n_q).astype(np.int32)
+    cands = np.full((n_q, 8), -1, np.int32)
+    cands[:, 0] = rng.integers(0, N_ENT, n_q)
+
+    proj = ranking.pad_entities(jnp.asarray(proj_tab), 16)
+    entp = ranking.pad_entities(jnp.asarray(ent), 16)
+    args = (
+        jnp.asarray(proj[anchors]), jnp.asarray(entp[anchors]), jnp.asarray(sign),
+        jnp.asarray(cvecs), jnp.asarray(centers), jnp.asarray(true_idx),
+        jnp.asarray(cands),
+    )
+    for dist in (Distance.L1, Distance.L2):
+        raw_l, filt_l = ranking_cluster.rank_queries_clustered(
+            proj, entp, *args, dist, 16
+        )
+        mesh = mesh_lib.make_mesh(2, 4)
+        sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("model", None))
+        raw_s, filt_s = par_eval.sharded_rank_queries_clustered(
+            mesh, jax.device_put(proj, sh), jax.device_put(entp, sh),
+            *args, dist, block_size=16,
+        )
+        np.testing.assert_array_equal(np.asarray(raw_l), np.asarray(raw_s))
+        np.testing.assert_array_equal(np.asarray(filt_l), np.asarray(filt_s))
+
+
+def test_harness_sharded_eval_matches_local_ctransr(tiny_dataset):
+    """evaluate(mesh=...) covers the cluster-aware model too (EP eval)."""
+    from kb2e_tpu.eval import harness
+    from kb2e_tpu.models import ctransr as ctransr_lib
+
+    cfg = EmbeddingConfig(embedding_size=16, eval_block_size=8, eval_batch_size=64,
+                          eval_impl="xla")
+    model = get_model("ctransr")
+    params = model.init_params(jax.random.PRNGKey(6), tiny_dataset.n_entities,
+                               tiny_dataset.n_relations, cfg)
+    ts = tiny_dataset.train
+    centers = ctransr_lib.build_centers(
+        np.asarray(params["entity"]), ts.heads, ts.tails, ts.rels,
+        tiny_dataset.n_relations, model.n_clusters, seed=0,
+    )
+    params = model.with_centers(params, centers)
+    local = harness.evaluate(model, params, tiny_dataset, cfg)
+    mesh = mesh_lib.make_mesh(2, 4)
+    sharded = harness.evaluate(model, params, tiny_dataset, cfg, mesh=mesh)
+    assert local == sharded
 
 
 def test_harness_sharded_eval_matches_local(tiny_dataset):
