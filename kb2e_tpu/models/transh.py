@@ -132,6 +132,21 @@ class TransH(base.Model):
         return {"entity": ent, "relation": rel, "norm": w_tab}, loss
 
     def sequential_update(self, params, batch: base.Batch, cfg: EmbeddingConfig) -> Tuple[base.Params, jax.Array]:
+        impl = getattr(cfg, "parity_impl", "auto")
+        if impl == "pallas" or (impl == "auto" and jax.default_backend() == "tpu"):
+            # Fused sequential kernel: one Pallas program instead of B scan
+            # steps (ops/pallas_update.py::transh_sequential_update).
+            from kb2e_tpu.ops import pallas_update
+
+            ent, rel, w_tab, loss = pallas_update.transh_sequential_update(
+                params["entity"], params["relation"], params["norm"],
+                batch["ph"], batch["pt"], batch["r"],
+                batch["nh"], batch["nt"], batch["valid"],
+                learning_rate=cfg.learning_rate, margin=cfg.margin,
+                max_iters=cfg.projection_max_iters,
+                interpret=(jax.default_backend() != "tpu"),
+            )
+            return {"entity": ent, "relation": rel, "norm": w_tab}, loss
         snap_e, snap_r, snap_w = params["entity"], params["relation"], params["norm"]
         lr = cfg.learning_rate
         cap = cfg.projection_max_iters

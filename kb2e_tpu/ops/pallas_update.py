@@ -21,9 +21,14 @@ deltas, ball-norm again.  Deltas are applied before any norm of the group so
 self-loop triples (h == t) cancel exactly like the reference's accumulate-
 then-norm.
 
-Only the compute path is TransE; TransH/TransR parity stays on the scan path
-(their per-sample constraint loops are data-dependent `while`s, a poor fit
-for a fused kernel).
+TransH and TransR get the same treatment below
+(:func:`transh_sequential_update`, :func:`transr_sequential_update`): their
+data-dependent constraint loops (the orthogonality projector of
+``common/utils.cpp:79-111`` and ``transRNorm`` of ``transr/trainer.cpp:34-64``)
+are bounded by the same ``max_iters`` cap the scan path already uses
+(ops/projections.py) and run as masked fixed-trip ``fori_loop``s in VMEM —
+identical arithmetic on the iterations that execute, frozen carries after
+convergence.
 """
 
 from __future__ import annotations
@@ -144,6 +149,505 @@ def _make_kernel(l1: bool, lr: float, margin: float, k: int):
             loss_out[0, 0] = lacc[0, 0]
 
     return kernel
+
+
+def _lane_mask(row, k_real):
+    """Zero the padded lanes (columns >= k_real) of a [1, kp] row value."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    return jnp.where(lane < k_real, row, 0.0)
+
+
+def _orthogonality_project_value(a, b, rate, max_iters):
+    """VMEM-value orthogonality projector on [1, kp] rows — the exact
+    arithmetic of ops/projections.py::orthogonality_project (itself parity
+    with common/utils.cpp:79-111, including the non-reset ``sum``
+    accumulator), as a masked fixed-trip loop: converged iterations freeze
+    the carry, so the result equals the early-exiting while_loop."""
+    b = b / jnp.sqrt(jnp.sum(b * b))
+
+    def body(_, carry):
+        a, b, s, done = carry
+        s_new = jnp.where(done, s, s + jnp.sum(b * b))
+        s_sqrt = jnp.sqrt(s_new)
+        b_scaled = jnp.where(done, b, b / s_sqrt)
+        x = jnp.sum(b_scaled * a)
+        fire = (x > 0.1) & jnp.logical_not(done)
+        a2 = a - rate * b_scaled
+        b2 = b_scaled - rate * a2
+        a_next = jnp.where(fire, a2, a)
+        b_next = jnp.where(fire, b2, b_scaled)
+        return a_next, b_next, s_sqrt, done | jnp.logical_not(fire)
+
+    a, b, _, _ = jax.lax.fori_loop(
+        0, max_iters, body, (a, b, jnp.float32(0.0), jnp.bool_(False))
+    )
+    return a, b / jnp.sqrt(jnp.sum(b * b))
+
+
+def _make_transh_kernel(lr: float, margin: float, k: int, max_iters: int):
+    def kernel(
+        ph_r, pt_r, r_r, nh_r, nt_r, v_r,  # scalar prefetch (SMEM int32 [B])
+        ent_snap, rel_snap, norm_snap,  # ANY (HBM) — batch-start snapshot
+        ent_out, rel_out, norm_out, loss_out,  # outputs
+        rows, wrk, wrk2, lacc, sems,  # scratch
+    ):
+        i = pl.program_id(0)
+        nb = pl.num_programs(0)
+
+        @pl.when(i == 0)
+        def _init():
+            lacc[0, 0] = 0.0
+            for src, dst in ((ent_snap, ent_out), (rel_snap, rel_out), (norm_snap, norm_out)):
+                cp = pltpu.make_async_copy(src, dst, sems.at[6])
+                cp.start()
+                cp.wait()
+
+        ph, pt, rr = ph_r[i], pt_r[i], r_r[i]
+        nh, nt, valid = nh_r[i], nt_r[i], v_r[i]
+
+        # Snapshot rows: h, t, r, w, nh, nt → rows[0..5].
+        srcs = (
+            (ent_snap, ph), (ent_snap, pt), (rel_snap, rr),
+            (norm_snap, rr), (ent_snap, nh), (ent_snap, nt),
+        )
+        dmas = []
+        for slot, (tbl, idx) in enumerate(srcs):
+            d = pltpu.make_async_copy(
+                tbl.at[pl.ds(idx, 1), :], rows.at[pl.ds(slot, 1), :], sems.at[slot]
+            )
+            d.start()
+            dmas.append(d)
+        for d in dmas:
+            d.wait()
+
+        he, te, rv = rows[0:1, :], rows[1:2, :], rows[2:3, :]
+        w = rows[3:4, :]
+        nhv, ntv = rows[4:5, :], rows[5:6, :]
+
+        def residual(h_row, t_row):
+            hs = jnp.sum(w * h_row)
+            ts = jnp.sum(w * t_row)
+            return (t_row - ts * w) - (h_row - hs * w) - rv, hs, ts
+
+        res_p, hs_p, ts_p = residual(he, te)
+        res_n, hs_n, ts_n = residual(nhv, ntv)
+        # L1 only (quirk B5) — padded lanes are exactly zero in every operand.
+        e_p = jnp.sum(jnp.abs(res_p))
+        e_n = jnp.sum(jnp.abs(res_n))
+        viol = (e_p + margin > e_n) & (valid != 0)
+
+        def rmw_row(tbl, idx, fn):
+            """Read-modify-write one table row through the work buffer."""
+            d = pltpu.make_async_copy(
+                tbl.at[pl.ds(idx, 1), :], wrk.at[pl.ds(0, 1), :], sems.at[0]
+            )
+            d.start()
+            d.wait()
+            wrk[0:1, :] = fn(wrk[0:1, :])
+            d = pltpu.make_async_copy(
+                wrk.at[pl.ds(0, 1), :], tbl.at[pl.ds(idx, 1), :], sems.at[0]
+            )
+            d.start()
+            d.wait()
+
+        def ball(row):
+            n = jnp.sqrt(jnp.sum(row * row))
+            return jnp.where(n > 1.0, row / n, row)
+
+        def sphere(row):
+            return row / jnp.sqrt(jnp.sum(row * row))
+
+        def orth_pair(tbl_a, idx_a, tbl_b, idx_b):
+            """Coupled orthogonality RMW of (tbl_a[idx_a], tbl_b[idx_b])."""
+            d = pltpu.make_async_copy(
+                tbl_a.at[pl.ds(idx_a, 1), :], wrk.at[pl.ds(0, 1), :], sems.at[0]
+            )
+            d.start()
+            d.wait()
+            d = pltpu.make_async_copy(
+                tbl_b.at[pl.ds(idx_b, 1), :], wrk2.at[pl.ds(0, 1), :], sems.at[1]
+            )
+            d.start()
+            d.wait()
+            a_new, b_new = _orthogonality_project_value(
+                wrk[0:1, :], wrk2[0:1, :], lr, max_iters
+            )
+            wrk[0:1, :] = a_new
+            wrk2[0:1, :] = b_new
+            d = pltpu.make_async_copy(
+                wrk.at[pl.ds(0, 1), :], tbl_a.at[pl.ds(idx_a, 1), :], sems.at[0]
+            )
+            d.start()
+            d.wait()
+            d = pltpu.make_async_copy(
+                wrk2.at[pl.ds(0, 1), :], tbl_b.at[pl.ds(idx_b, 1), :], sems.at[1]
+            )
+            d.start()
+            d.wait()
+
+        def gradient_update(res, h_row, t_row, hs, ts, h_idx, t_idx, beta):
+            """transh/trainer.cpp:11-58 for one (h, t, r) with sign beta."""
+            x = _lane_mask(jnp.where(2.0 * res > 0, 1.0, -1.0), k)
+            sum_x = jnp.sum(x * w)
+            rmw_row(rel_out, rr, lambda row: row + (-beta * lr) * x)
+            rmw_row(ent_out, h_idx, lambda row: row + (-beta * lr) * x)
+            rmw_row(ent_out, t_idx, lambda row: row + (beta * lr) * x)
+            dw = beta * lr * (x * (hs - ts) + sum_x * (h_row - t_row))
+            rmw_row(norm_out, rr, lambda row: row + dw)
+            rmw_row(rel_out, rr, ball)
+            rmw_row(ent_out, h_idx, ball)
+            rmw_row(ent_out, t_idx, ball)
+            rmw_row(norm_out, rr, sphere)
+            orth_pair(rel_out, rr, norm_out, rr)
+            orth_pair(ent_out, h_idx, norm_out, rr)
+            orth_pair(ent_out, t_idx, norm_out, rr)
+
+        @pl.when(viol)
+        def _update():
+            lacc[0, 0] += margin + e_p - e_n
+            gradient_update(res_p, he, te, hs_p, ts_p, ph, pt, -1.0)
+            gradient_update(res_n, nhv, ntv, hs_n, ts_n, nh, nt, +1.0)
+
+        @pl.when(i == nb - 1)
+        def _emit():
+            loss_out[0, 0] = lacc[0, 0]
+
+    return kernel
+
+
+def _transr_ball_value(a, wt, rate, k_real, max_iters):
+    """VMEM-value ``transRNorm`` (transr/trainer.cpp:34-64) on a [1, kp] row
+    and the TRANSPOSED matrix wt [kp, kp] (wt[i, j] = W[j, i]) so the
+    reference's sequential output-dim loop reads/writes sublane slices.
+
+    Exact-sequential parity with ops/projections.py::transr_ball_project
+    (exact_sequential=True): output dims i update in order, each reading the
+    ``a`` mutated by previous i's; the outer loop runs while ``‖a·W‖² > 1``
+    up to ``max_iters``, exiting early like the reference (a real
+    ``lax.while_loop`` — the TPU scalar core handles the data-dependent
+    trip count)."""
+    kp = a.shape[1]
+
+    def cond(carry):
+        it, a, wt = carry
+        # proj_i = Σ_j a_j W[j,i] = Σ_j a_j wt[i,j]  (one [1,kp]·[kp,kp] MXU op)
+        proj = jax.lax.dot_general(a, wt, (((1,), (1,)), ((), ())))
+        return (jnp.sum(proj * proj) > 1.0) & (it < max_iters)
+
+    def body(carry):
+        it, a, wt = carry
+
+        def per_i(i, aw):
+            a, wt = aw
+            wcol = jax.lax.dynamic_slice(wt, (i, 0), (1, kp))  # W[:, i] as a row
+            tmp = 2.0 * jnp.sum(wcol * a)
+            wcol = wcol - rate * tmp * a
+            wt = jax.lax.dynamic_update_slice(wt, wcol, (i, 0))
+            a = a - rate * tmp * wcol
+            return a, wt
+
+        a, wt = jax.lax.fori_loop(0, k_real, per_i, (a, wt))
+        return it + 1, a, wt
+
+    _, a, wt = jax.lax.while_loop(cond, body, (jnp.int32(0), a, wt))
+    return a, wt
+
+
+def _make_transr_kernel(l1: bool, lr: float, margin: float, k: int, max_iters: int):
+    def kernel(
+        ph_r, pt_r, r_r, nh_r, nt_r, v_r,  # scalar prefetch (SMEM int32 [B])
+        ent_snap, rel_snap, proj_snap,  # ANY (HBM) — batch-start snapshot
+        ent_out, rel_out, proj_out, loss_out,  # outputs
+        rows, wsnap, wblk, wrk, lacc, sems,  # scratch
+    ):
+        i = pl.program_id(0)
+        nb = pl.num_programs(0)
+        kp = wrk.shape[1]
+
+        @pl.when(i == 0)
+        def _init():
+            lacc[0, 0] = 0.0
+            for src, dst in ((ent_snap, ent_out), (rel_snap, rel_out), (proj_snap, proj_out)):
+                cp = pltpu.make_async_copy(src, dst, sems.at[6])
+                cp.start()
+                cp.wait()
+
+        ph, pt, rr = ph_r[i], pt_r[i], r_r[i]
+        nh, nt, valid = nh_r[i], nt_r[i], v_r[i]
+
+        # Snapshot rows h, t, r, nh, nt → rows[0..4]; W_r → wsnap (6 DMAs).
+        srcs = ((ent_snap, ph), (ent_snap, pt), (rel_snap, rr), (ent_snap, nh), (ent_snap, nt))
+        dmas = []
+        for slot, (tbl, idx) in enumerate(srcs):
+            d = pltpu.make_async_copy(
+                tbl.at[pl.ds(idx, 1), :], rows.at[pl.ds(slot, 1), :], sems.at[slot]
+            )
+            d.start()
+            dmas.append(d)
+        dw = pltpu.make_async_copy(
+            proj_snap.at[pl.ds(rr, 1), :, :], wsnap, sems.at[5]
+        )
+        dw.start()
+        for d in dmas:
+            d.wait()
+        dw.wait()
+
+        he, te, rv = rows[0:1, :], rows[1:2, :], rows[2:3, :]
+        nhv, ntv = rows[3:4, :], rows[4:5, :]
+        w = wsnap[0]  # [kp, kp] — snapshot W_r, layout [input j, output i]
+
+        def project(row):
+            # (row·W)_i — contraction over j rides the MXU.
+            return jax.lax.dot_general(row, w, (((1,), (0,)), ((), ())))
+
+        res_p = project(te) - project(he) - rv
+        res_n = project(ntv) - project(nhv) - rv
+        if l1:
+            e_p, e_n = jnp.sum(jnp.abs(res_p)), jnp.sum(jnp.abs(res_n))
+        else:
+            e_p, e_n = jnp.sum(res_p * res_p), jnp.sum(res_n * res_n)
+        viol = (e_p + margin > e_n) & (valid != 0)
+
+        def rmw_row(tbl, idx, fn):
+            d = pltpu.make_async_copy(
+                tbl.at[pl.ds(idx, 1), :], wrk.at[pl.ds(0, 1), :], sems.at[0]
+            )
+            d.start()
+            d.wait()
+            wrk[0:1, :] = fn(wrk[0:1, :])
+            d = pltpu.make_async_copy(
+                wrk.at[pl.ds(0, 1), :], tbl.at[pl.ds(idx, 1), :], sems.at[0]
+            )
+            d.start()
+            d.wait()
+
+        def sphere(row):
+            return row / jnp.sqrt(jnp.sum(row * row))
+
+        def load_w():
+            d = pltpu.make_async_copy(
+                proj_out.at[pl.ds(rr, 1), :, :], wblk, sems.at[1]
+            )
+            d.start()
+            d.wait()
+
+        def store_w():
+            d = pltpu.make_async_copy(
+                wblk, proj_out.at[pl.ds(rr, 1), :, :], sems.at[1]
+            )
+            d.start()
+            d.wait()
+
+        def ball_pair(tbl_a, idx_a):
+            """Coupled ‖a·W‖ ≤ 1 RMW of (tbl_a[idx_a], proj_out[rr]);
+            wblk holds the CURRENT W (kept resident across the call)."""
+            d = pltpu.make_async_copy(
+                tbl_a.at[pl.ds(idx_a, 1), :], wrk.at[pl.ds(0, 1), :], sems.at[0]
+            )
+            d.start()
+            d.wait()
+            wt = jnp.transpose(wblk[0])
+            a_new, wt_new = _transr_ball_value(wrk[0:1, :], wt, lr, k, max_iters)
+            wrk[0:1, :] = a_new
+            wblk[0] = jnp.transpose(wt_new)
+            d = pltpu.make_async_copy(
+                wrk.at[pl.ds(0, 1), :], tbl_a.at[pl.ds(idx_a, 1), :], sems.at[0]
+            )
+            d.start()
+            d.wait()
+
+        def gradient_update(res, h_row, t_row, h_idx, t_idx, beta):
+            """transr/trainer.cpp:144-191 for one (h, t, r) with sign beta;
+            gradients read the batch snapshot (h_row/t_row/w), writes RMW the
+            output tables sequentially."""
+            x = 2.0 * res
+            if l1:
+                x = jnp.where(x > 0, 1.0, -1.0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            x = jnp.where(lane < k, x, 0.0)
+
+            # W −= β·lr·outer(h−t, x): contract the length-1 leading dims.
+            outer = jax.lax.dot_general(h_row - t_row, x, (((0,), (0,)), ((), ())))
+            # (W x)_j = Σ_i W[j,i] x_i — contract x's lane axis with W's i axis.
+            wx = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())))
+
+            load_w()
+            wblk[0] = wblk[0] + (-beta * lr) * outer
+            rmw_row(ent_out, h_idx, lambda row: row + (-beta * lr) * wx)
+            rmw_row(ent_out, t_idx, lambda row: row + (beta * lr) * wx)
+            rmw_row(rel_out, rr, lambda row: row + (-beta * lr) * x)
+
+            # Constraints (transr/trainer.cpp:174-191): sphere the touched
+            # e/r rows and every row of W_r, then the sequential transRNorm
+            # on (h, W), (t, W) and the relation vector — the reference's
+            # bug-B2 third call recast to its intent (models/transr.py:162).
+            rmw_row(rel_out, rr, sphere)
+            rmw_row(ent_out, h_idx, sphere)
+            rmw_row(ent_out, t_idx, sphere)
+            wb = wblk[0]
+            nrm = jnp.sqrt(jnp.sum(wb * wb, axis=1, keepdims=True))
+            sub = jax.lax.broadcasted_iota(jnp.int32, wb.shape, 0)
+            wblk[0] = jnp.where(sub < k, wb / nrm, 0.0)
+            ball_pair(ent_out, h_idx)
+            ball_pair(ent_out, t_idx)
+            ball_pair(rel_out, rr)
+            store_w()
+
+        @pl.when(viol)
+        def _update():
+            lacc[0, 0] += margin + e_p - e_n
+            gradient_update(res_p, he, te, ph, pt, -1.0)
+            gradient_update(res_n, nhv, ntv, nh, nt, +1.0)
+
+        @pl.when(i == nb - 1)
+        def _emit():
+            loss_out[0, 0] = lacc[0, 0]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("learning_rate", "margin", "l1", "max_iters", "interpret"),
+)
+def transr_sequential_update(
+    entity: jax.Array,  # [N, k] float32 — batch-start snapshot
+    relation: jax.Array,  # [R, k]
+    proj: jax.Array,  # [R, k, k] projection matrices, layout [j, i]
+    ph: jax.Array,
+    pt: jax.Array,
+    r: jax.Array,
+    nh: jax.Array,
+    nt: jax.Array,
+    valid: jax.Array,
+    learning_rate: float,
+    margin: float,
+    l1: bool,
+    max_iters: int,
+    interpret: bool = False,
+):
+    """(entity', relation', proj', loss) with reference-sequential semantics
+    (transr/trainer.cpp:118-191 per violating sample, double-buffered reads)."""
+    n, k_real = entity.shape
+    b = ph.shape[0]
+    k = max(128, -(-k_real // 128) * 128)
+    entity = jnp.pad(entity.astype(jnp.float32), ((0, 0), (0, k - k_real)))
+    relation = jnp.pad(relation.astype(jnp.float32), ((0, 0), (0, k - k_real)))
+    proj = jnp.pad(
+        proj.astype(jnp.float32),
+        ((0, 0), (0, k - k_real), (0, k - k_real)),
+    )
+    kernel = _make_transr_kernel(
+        l1, float(learning_rate), float(margin), k_real, max_iters
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        scratch_shapes=[
+            pltpu.VMEM((5, k), jnp.float32),
+            pltpu.VMEM((1, k, k), jnp.float32),
+            pltpu.VMEM((1, k, k), jnp.float32),
+            pltpu.VMEM((1, k), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((7,)),
+        ],
+    )
+    ent_out, rel_out, proj_out, loss = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, k), jnp.float32),
+            jax.ShapeDtypeStruct(relation.shape, jnp.float32),
+            jax.ShapeDtypeStruct(proj.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        ph.astype(jnp.int32),
+        pt.astype(jnp.int32),
+        r.astype(jnp.int32),
+        nh.astype(jnp.int32),
+        nt.astype(jnp.int32),
+        valid.astype(jnp.int32),
+        entity,
+        relation,
+        proj,
+    )
+    return (
+        ent_out[:, :k_real],
+        rel_out[:, :k_real],
+        proj_out[:, :k_real, :k_real],
+        loss[0, 0],
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("learning_rate", "margin", "max_iters", "interpret")
+)
+def transh_sequential_update(
+    entity: jax.Array,  # [N, k] float32 — batch-start snapshot
+    relation: jax.Array,  # [R, k]
+    norm: jax.Array,  # [R, k] hyperplane normals
+    ph: jax.Array,
+    pt: jax.Array,
+    r: jax.Array,
+    nh: jax.Array,
+    nt: jax.Array,
+    valid: jax.Array,
+    learning_rate: float,
+    margin: float,
+    max_iters: int,
+    interpret: bool = False,
+):
+    """(entity', relation', norm', loss) with reference-sequential semantics
+    (transh/trainer.cpp:11-58 per violating sample, double-buffered reads)."""
+    n, k_real = entity.shape
+    b = ph.shape[0]
+    k = max(128, -(-k_real // 128) * 128)
+    pad = ((0, 0), (0, k - k_real))
+    entity = jnp.pad(entity.astype(jnp.float32), pad)
+    relation = jnp.pad(relation.astype(jnp.float32), pad)
+    norm = jnp.pad(norm.astype(jnp.float32), pad)
+    kernel = _make_transh_kernel(float(learning_rate), float(margin), k_real, max_iters)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        scratch_shapes=[
+            pltpu.VMEM((6, k), jnp.float32),
+            pltpu.VMEM((1, k), jnp.float32),
+            pltpu.VMEM((1, k), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((7,)),
+        ],
+    )
+    ent_out, rel_out, norm_out, loss = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, k), jnp.float32),
+            jax.ShapeDtypeStruct(relation.shape, jnp.float32),
+            jax.ShapeDtypeStruct(norm.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        ph.astype(jnp.int32),
+        pt.astype(jnp.int32),
+        r.astype(jnp.int32),
+        nh.astype(jnp.int32),
+        nt.astype(jnp.int32),
+        valid.astype(jnp.int32),
+        entity,
+        relation,
+        norm,
+    )
+    return ent_out[:, :k_real], rel_out[:, :k_real], norm_out[:, :k_real], loss[0, 0]
 
 
 @functools.partial(

@@ -58,6 +58,59 @@ def test_kernel_matches_scan_parity(distance, self_loops):
     assert float(loss) == pytest.approx(float(ref_loss), rel=1e-5)
 
 
+@pytest.mark.parametrize("self_loops", [False, True])
+def test_transh_kernel_matches_scan_parity(self_loops):
+    ent, rel, ph, pt, r, nh, nt, valid = _random_case(
+        11 if self_loops else 9, self_loops=self_loops
+    )
+    rng = np.random.default_rng(5)
+    w = rng.normal(size=rel.shape).astype(np.float32)
+    w /= np.linalg.norm(w, axis=-1, keepdims=True)
+    cfg = EmbeddingConfig(embedding_size=16, learning_rate=0.05, margin=1.0,
+                          update_mode="parity", parity_impl="scan")
+    model = get_model("transh")
+    batch = Batch(
+        ph=jnp.asarray(ph), pt=jnp.asarray(pt), r=jnp.asarray(r),
+        nh=jnp.asarray(nh), nt=jnp.asarray(nt), valid=jnp.asarray(valid),
+    )
+    params = {"entity": jnp.asarray(ent), "relation": jnp.asarray(rel),
+              "norm": jnp.asarray(w)}
+    ref_params, ref_loss = model.sequential_update(params, batch, cfg)
+
+    ent2, rel2, w2, loss = pallas_update.transh_sequential_update(
+        params["entity"], params["relation"], params["norm"],
+        batch["ph"], batch["pt"], batch["r"], batch["nh"], batch["nt"],
+        batch["valid"],
+        learning_rate=0.05, margin=1.0, max_iters=cfg.projection_max_iters,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(ent2), np.asarray(ref_params["entity"]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rel2), np.asarray(ref_params["relation"]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(ref_params["norm"]),
+                               atol=1e-5)
+    assert float(loss) == pytest.approx(float(ref_loss), rel=1e-5)
+
+
+def test_transh_kernel_no_violations_is_identity():
+    ent, rel, ph, pt, r, nh, nt, _ = _random_case(13)
+    rng = np.random.default_rng(6)
+    w = rng.normal(size=rel.shape).astype(np.float32)
+    w /= np.linalg.norm(w, axis=-1, keepdims=True)
+    valid = np.zeros_like(ph, dtype=bool)
+    ent2, rel2, w2, loss = pallas_update.transh_sequential_update(
+        jnp.asarray(ent), jnp.asarray(rel), jnp.asarray(w),
+        jnp.asarray(ph), jnp.asarray(pt), jnp.asarray(r),
+        jnp.asarray(nh), jnp.asarray(nt), jnp.asarray(valid),
+        learning_rate=0.05, margin=1.0, max_iters=16, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ent2), ent)
+    np.testing.assert_array_equal(np.asarray(rel2), rel)
+    np.testing.assert_array_equal(np.asarray(w2), w)
+    assert float(loss) == 0.0
+
+
 def test_kernel_no_violations_is_identity():
     ent, rel, ph, pt, r, nh, nt, _ = _random_case(7)
     # valid=False everywhere -> no updates, zero loss, tables untouched.
