@@ -9,10 +9,12 @@ the reference ships no data and this environment has no egress), reference
 batch policy |T|/100, margin-ranking SGD with on-device bern corruption.
 
 ``vs_baseline`` compares against the reference C++ ``trainTransE`` measured on
-THIS machine's CPU on the same synthetic KG: 3 epochs of 483,410 samples in
-13.7s of train-loop time (g++ -O3, single thread, 2026-08-17) ->
-105,800 triples/s.  The reference publishes no throughput numbers of its own
-(survey §6), so this measured figure is the baseline of record.
+THIS machine's CPU on the same synthetic KG (g++ -O3, single thread,
+benchmarks/bench_reference.py): 215,004 triples/s on an idle host
+(2026-08-20; the round-1 figure of 105,800 was measured while TPU tunnel
+processes shared the 2 cores and understated the reference).  The reference
+publishes no throughput numbers of its own (survey §6), so this measured
+figure is the baseline of record.
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ import time
 
 import numpy as np
 
-REFERENCE_CPU_TRIPLES_PER_S = 105_800.0
+REFERENCE_CPU_TRIPLES_PER_S = 215_004.0
 
 N_ENTITIES = 14_951
 N_RELATIONS = 1_345

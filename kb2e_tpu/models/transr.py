@@ -38,6 +38,12 @@ from kb2e_tpu.ops import distances, projections
 from kb2e_tpu.utils import prng
 
 
+def _dotp(a, b):
+    """Full-f32 contraction: TPU's default bf16 MXU pass loses ~3 decimal
+    digits, enough to flip margin-violation decisions in parity mode."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 class TransR(base.Model):
     name = "transr"
     needs_projection = True
@@ -132,6 +138,22 @@ class TransR(base.Model):
         return {"entity": ent, "relation": rel, "proj": proj}, loss
 
     def sequential_update(self, params, batch: base.Batch, cfg: EmbeddingConfig) -> Tuple[base.Params, jax.Array]:
+        impl = getattr(cfg, "parity_impl", "auto")
+        if impl == "pallas" or (impl == "auto" and jax.default_backend() == "tpu"):
+            # Fused sequential kernel: one Pallas program instead of B scan
+            # steps (ops/pallas_update.py::transr_sequential_update).
+            from kb2e_tpu.ops import pallas_update
+
+            ent, rel, proj, loss = pallas_update.transr_sequential_update(
+                params["entity"], params["relation"], params["proj"],
+                batch["ph"], batch["pt"], batch["r"],
+                batch["nh"], batch["nt"], batch["valid"],
+                learning_rate=cfg.learning_rate, margin=cfg.margin,
+                l1=(self.effective_distance(cfg.distance) == Distance.L1),
+                max_iters=cfg.projection_max_iters,
+                interpret=(jax.default_backend() != "tpu"),
+            )
+            return {"entity": ent, "relation": rel, "proj": proj}, loss
         snap_e, snap_r, snap_w = params["entity"], params["relation"], params["proj"]
         lr = cfg.learning_rate
         dist = self.effective_distance(cfg.distance)
@@ -141,11 +163,11 @@ class TransR(base.Model):
             ent, rel, proj = tabs
             w = snap_w[r]
             he, te, rv = snap_e[h], snap_e[t], snap_r[r]
-            x = 2.0 * (te @ w - he @ w - rv)
+            x = 2.0 * (_dotp(te, w) - _dotp(he, w) - rv)
             if dist == Distance.L1:
                 x = jnp.where(x > 0, 1.0, -1.0)
             proj = proj.at[r].add(-beta * lr * jnp.outer(he - te, x))
-            wx = w @ x
+            wx = _dotp(w, x)
             ent = ent.at[h].add(-beta * lr * wx)
             ent = ent.at[t].add(beta * lr * wx)
             rel = rel.at[r].add(-beta * lr * x)
@@ -168,8 +190,8 @@ class TransR(base.Model):
             ent, rel, proj, loss = carry
             ph, pt, r, nh, nt, valid = sample
             w = snap_w[r]
-            hp, tp = snap_e[ph] @ w, snap_e[pt] @ w
-            nhp, ntp = snap_e[nh] @ w, snap_e[nt] @ w
+            hp, tp = _dotp(snap_e[ph], w), _dotp(snap_e[pt], w)
+            nhp, ntp = _dotp(snap_e[nh], w), _dotp(snap_e[nt], w)
             e_pos = distances.residual_energy(tp - hp - snap_r[r], dist)
             e_neg = distances.residual_energy(ntp - nhp - snap_r[r], dist)
             viol = (e_pos + cfg.margin > e_neg) & valid

@@ -315,10 +315,17 @@ def _make_transh_kernel(lr: float, margin: float, k: int, max_iters: int):
     return kernel
 
 
-def _transr_ball_value(a, wt, rate, k_real, max_iters):
-    """VMEM-value ``transRNorm`` (transr/trainer.cpp:34-64) on a [1, kp] row
-    and the TRANSPOSED matrix wt [kp, kp] (wt[i, j] = W[j, i]) so the
-    reference's sequential output-dim loop reads/writes sublane slices.
+def _transr_ball_value(a, wt, rate, max_iters):
+    """``transRNorm`` (transr/trainer.cpp:34-64) on a [1, kp] row value and
+    the TRANSPOSED matrix wt [kp, kp] (wt[i, j] = W[j, i]) so the reference's
+    sequential output-dim loop touches SUBLANE rows.
+
+    Mosaic has no value-level dynamic_slice and ``while_loop`` bodies must
+    not mutate refs, so the inner loop avoids dynamic indexing entirely:
+    each trip reads row 0 STATICALLY and rotates the matrix up one row;
+    after kp trips the matrix is back in alignment.  The pad rows (≥ k_real)
+    are exactly zero, which makes their trips arithmetic no-ops (tmp = 0),
+    so no live-mask is needed — zero pads must be preserved by every caller.
 
     Exact-sequential parity with ops/projections.py::transr_ball_project
     (exact_sequential=True): output dims i update in order, each reading the
@@ -331,22 +338,23 @@ def _transr_ball_value(a, wt, rate, k_real, max_iters):
     def cond(carry):
         it, a, wt = carry
         # proj_i = Σ_j a_j W[j,i] = Σ_j a_j wt[i,j]  (one [1,kp]·[kp,kp] MXU op)
-        proj = jax.lax.dot_general(a, wt, (((1,), (1,)), ((), ())))
+        proj = jax.lax.dot_general(a, wt, (((1,), (1,)), ((), ())),
+                                   precision=jax.lax.Precision.HIGHEST)
         return (jnp.sum(proj * proj) > 1.0) & (it < max_iters)
 
     def body(carry):
         it, a, wt = carry
 
-        def per_i(i, aw):
-            a, wt = aw
-            wcol = jax.lax.dynamic_slice(wt, (i, 0), (1, kp))  # W[:, i] as a row
+        def per_i(_, carry):
+            a, wt = carry
+            wcol = wt[0:1, :]  # W[:, i] of the current rotation
             tmp = 2.0 * jnp.sum(wcol * a)
             wcol = wcol - rate * tmp * a
-            wt = jax.lax.dynamic_update_slice(wt, wcol, (i, 0))
             a = a - rate * tmp * wcol
+            wt = jnp.concatenate([wt[1:, :], wcol], axis=0)  # rotate up
             return a, wt
 
-        a, wt = jax.lax.fori_loop(0, k_real, per_i, (a, wt))
+        a, wt = jax.lax.fori_loop(0, kp, per_i, (a, wt))
         return it + 1, a, wt
 
     _, a, wt = jax.lax.while_loop(cond, body, (jnp.int32(0), a, wt))
@@ -398,7 +406,8 @@ def _make_transr_kernel(l1: bool, lr: float, margin: float, k: int, max_iters: i
 
         def project(row):
             # (row·W)_i — contraction over j rides the MXU.
-            return jax.lax.dot_general(row, w, (((1,), (0,)), ((), ())))
+            return jax.lax.dot_general(row, w, (((1,), (0,)), ((), ())),
+                                       precision=jax.lax.Precision.HIGHEST)
 
         res_p = project(te) - project(he) - rv
         res_n = project(ntv) - project(nhv) - rv
@@ -446,8 +455,9 @@ def _make_transr_kernel(l1: bool, lr: float, margin: float, k: int, max_iters: i
             )
             d.start()
             d.wait()
-            wt = jnp.transpose(wblk[0])
-            a_new, wt_new = _transr_ball_value(wrk[0:1, :], wt, lr, k, max_iters)
+            a_new, wt_new = _transr_ball_value(
+                wrk[0:1, :], jnp.transpose(wblk[0]), lr, max_iters
+            )
             wrk[0:1, :] = a_new
             wblk[0] = jnp.transpose(wt_new)
             d = pltpu.make_async_copy(
@@ -467,9 +477,11 @@ def _make_transr_kernel(l1: bool, lr: float, margin: float, k: int, max_iters: i
             x = jnp.where(lane < k, x, 0.0)
 
             # W −= β·lr·outer(h−t, x): contract the length-1 leading dims.
-            outer = jax.lax.dot_general(h_row - t_row, x, (((0,), (0,)), ((), ())))
+            outer = jax.lax.dot_general(h_row - t_row, x, (((0,), (0,)), ((), ())),
+                                        precision=jax.lax.Precision.HIGHEST)
             # (W x)_j = Σ_i W[j,i] x_i — contract x's lane axis with W's i axis.
-            wx = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())))
+            wx = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
+                                     precision=jax.lax.Precision.HIGHEST)
 
             load_w()
             wblk[0] = wblk[0] + (-beta * lr) * outer

@@ -119,14 +119,14 @@ def transr_ball_project(
 
     def cond(carry):
         it, a, w = carry
-        proj = a @ w
+        proj = jnp.matmul(a, w, precision=jax.lax.Precision.HIGHEST)
         return (jnp.sum(jnp.square(proj)) > 1.0) & (it < max_iters)
 
     def body_vec(carry):
         it, a, w = carry
-        tmp = 2.0 * (a @ w)  # [k] over output dims i
+        tmp = 2.0 * jnp.matmul(a, w, precision=jax.lax.Precision.HIGHEST)  # [k] over output dims i
         w_new = w - rate * jnp.outer(a, tmp)  # b[j][i] -= rate*tmp[i]*a[j]
-        a_new = a - rate * (w_new @ tmp)  # a[j] -= rate*tmp[i]*b[j][i], summed over i
+        a_new = a - rate * jnp.matmul(w_new, tmp, precision=jax.lax.Precision.HIGHEST)  # a[j] -= rate*tmp[i]*b[j][i], summed over i
         return it + 1, a_new, w_new
 
     def body_seq(carry):

@@ -111,6 +111,63 @@ def test_transh_kernel_no_violations_is_identity():
     assert float(loss) == 0.0
 
 
+@pytest.mark.parametrize("distance", [Distance.L1, Distance.L2])
+@pytest.mark.parametrize("self_loops", [False, True])
+def test_transr_kernel_matches_scan_parity(distance, self_loops):
+    ent, rel, ph, pt, r, nh, nt, valid = _random_case(
+        21 if self_loops else 19, self_loops=self_loops
+    )
+    k = ent.shape[1]
+    rng = np.random.default_rng(8)
+    # Identity + noise keeps W near the reference's warm-start regime while
+    # still exercising the ball projector's iterative branch.
+    proj = (np.broadcast_to(np.eye(k, dtype=np.float32), (rel.shape[0], k, k))
+            + rng.normal(size=(rel.shape[0], k, k)).astype(np.float32) * 0.15)
+    cfg = EmbeddingConfig(embedding_size=k, learning_rate=0.05, margin=1.0,
+                          distance=distance, update_mode="parity",
+                          parity_impl="scan")
+    model = get_model("transr")
+    batch = Batch(
+        ph=jnp.asarray(ph), pt=jnp.asarray(pt), r=jnp.asarray(r),
+        nh=jnp.asarray(nh), nt=jnp.asarray(nt), valid=jnp.asarray(valid),
+    )
+    params = {"entity": jnp.asarray(ent), "relation": jnp.asarray(rel),
+              "proj": jnp.asarray(proj)}
+    ref_params, ref_loss = model.sequential_update(params, batch, cfg)
+
+    ent2, rel2, proj2, loss = pallas_update.transr_sequential_update(
+        params["entity"], params["relation"], params["proj"],
+        batch["ph"], batch["pt"], batch["r"], batch["nh"], batch["nt"],
+        batch["valid"],
+        learning_rate=0.05, margin=1.0, l1=(distance == Distance.L1),
+        max_iters=cfg.projection_max_iters, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(ent2), np.asarray(ref_params["entity"]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rel2), np.asarray(ref_params["relation"]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(proj2), np.asarray(ref_params["proj"]),
+                               atol=1e-5)
+    assert float(loss) == pytest.approx(float(ref_loss), rel=1e-5)
+
+
+def test_transr_kernel_no_violations_is_identity():
+    ent, rel, ph, pt, r, nh, nt, _ = _random_case(23)
+    k = ent.shape[1]
+    proj = np.broadcast_to(np.eye(k, dtype=np.float32), (rel.shape[0], k, k)).copy()
+    valid = np.zeros_like(ph, dtype=bool)
+    ent2, rel2, proj2, loss = pallas_update.transr_sequential_update(
+        jnp.asarray(ent), jnp.asarray(rel), jnp.asarray(proj),
+        jnp.asarray(ph), jnp.asarray(pt), jnp.asarray(r),
+        jnp.asarray(nh), jnp.asarray(nt), jnp.asarray(valid),
+        learning_rate=0.05, margin=1.0, l1=True, max_iters=16, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ent2), ent)
+    np.testing.assert_array_equal(np.asarray(rel2), rel)
+    np.testing.assert_array_equal(np.asarray(proj2), proj)
+    assert float(loss) == 0.0
+
+
 def test_kernel_no_violations_is_identity():
     ent, rel, ph, pt, r, nh, nt, _ = _random_case(7)
     # valid=False everywhere -> no updates, zero loss, tables untouched.
