@@ -7,12 +7,18 @@ CPU devices it validates the sharded path's mechanics and prints a caveat
 (virtual devices share the host's cores, so 'efficiency' is not meaningful
 there).
 
+WEAK scaling: the per-device batch stays fixed (--batch), the global batch
+grows with the mesh, and efficiency(n) = throughput(n) / (n · throughput(1))
+— the regime BASELINE.md's edges/s north star describes.
+
 Usage: python bench_scaling.py [--devices 8] [--batch 8192] [--steps 20]
+       [--out SCALING.json]
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import time
 
 import numpy as np
@@ -21,9 +27,11 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=None)
-    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--batch", type=int, default=8192,
+                    help="per-device batch (weak scaling)")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--size", type=int, default=100)
+    ap.add_argument("--out", default=None, help="write results JSON here")
     args = ap.parse_args()
 
     import jax
@@ -50,12 +58,13 @@ def main() -> None:
     results = {}
     n = 1
     while n <= n_dev:
+        global_batch = args.batch * n  # weak scaling: fixed per-device batch
         mesh = mesh_lib.make_mesh(n, 1, devices=jax.devices()[:n])
         data = dist_step.replicate_data(mesh, step_lib.DeviceData.from_triple_set(ts))
         params = sharding.place_params(
             mesh, model.init_params(jax.random.PRNGKey(0), n_ent, n_rel, cfg)
         )
-        step = dist_step.make_distributed_train_step(model, cfg, mesh, args.batch)
+        step = dist_step.make_distributed_train_step(model, cfg, mesh, global_batch)
         key = jax.random.PRNGKey(1)
         key, sk = jax.random.split(key)
         params, loss = step(params, sk, data)
@@ -66,9 +75,10 @@ def main() -> None:
             params, loss = step(params, sk, data)
         float(loss)
         dt = time.time() - t0
-        tps = args.batch * args.steps / dt
-        results[n] = tps
-        eff = tps / (results[1] * n) if 1 in results and n > 1 else 1.0
+        tps = global_batch * args.steps / dt
+        eff = tps / (results[1]["triples_per_s"] * n) if n > 1 else 1.0
+        results[n] = {"triples_per_s": round(tps, 1), "efficiency": round(eff, 4),
+                      "global_batch": global_batch}
         print(f"devices={n:2d}: {tps/1e6:7.2f} M triples/s  efficiency={eff:5.1%}",
               flush=True)
         n *= 2
@@ -76,6 +86,21 @@ def main() -> None:
     if virtual:
         print("(virtual CPU devices share host cores - efficiency figures are "
               "mechanical validation only, not hardware scaling)")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(
+                {
+                    "mode": "weak",
+                    "backend": jax.default_backend(),
+                    "virtual_devices": virtual,
+                    "per_device_batch": args.batch,
+                    "steps": args.steps,
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

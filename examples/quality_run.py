@@ -33,6 +33,13 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=16)
     ap.add_argument("--rate", type=float, default=0.02)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--kg", choices=("planted", "skewed", "random"), default="planted",
+                    help="skewed = FB15k-statistics-matched (power-law degrees, "
+                         "1-N/N-1/N-N cardinality mix) — the regime bern sampling "
+                         "exists for")
+    ap.add_argument("--compare-sampling", action="store_true",
+                    help="train TransE/TransH under BOTH unif and bern on the same "
+                         "KG instead of the model sweep")
     args = ap.parse_args()
 
     if args.cpu:
@@ -53,10 +60,10 @@ def main() -> None:
     from kb2e_tpu.train import loop as train_loop
 
     workdir = tempfile.mkdtemp(prefix="kb2e_quality_")
-    synthetic.make_kg_dir(
-        workdir, n_entities=args.entities, n_relations=args.relations,
-        n_triples=args.triples, seed=11,
-    )
+    gen = {"planted": synthetic.planted_kg, "skewed": synthetic.skewed_kg,
+           "random": synthetic.random_kg}[args.kg]
+    triples = gen(args.entities, args.relations, args.triples, seed=11)
+    synthetic.write_kg_dir(workdir, triples, args.entities, args.relations, seed=11)
     ds = data_lib.load_dataset(workdir, splits=("train", "valid", "test"))
     chance = 10.0 / args.entities
     print(f"KG: {ds.train.num_triples} train triples, {args.entities} entities; "
@@ -71,6 +78,23 @@ def main() -> None:
     )
 
     results = {}
+    if args.compare_sampling:
+        for name in ("transe", "transh"):
+            model = get_model(name)
+            for method in (Method.UNIF, Method.BERN):
+                t0 = time.time()
+                m_cfg = cfg.replace(method=method)
+                params = train_loop.train(model, m_cfg, ds.train, verbose=False)
+                metrics = harness.evaluate(model, params, ds, m_cfg)
+                metrics["train_wall_s"] = round(time.time() - t0, 1)
+                label = f"{name}-{method.name.lower()}"
+                results[label] = metrics
+                print(f"{label:14s} filtered MR {metrics['filtered_mean_rank']:7.1f}  "
+                      f"filtered Hits@10 {metrics['filtered_hits10']:.3f}  "
+                      f"({metrics['train_wall_s']}s)", flush=True)
+        print(json.dumps(results, indent=1))
+        return
+
     seed_params = None
     for name in ("transe", "transh", "transr", "ctransr", "ptranse"):
         model = get_model(name)

@@ -44,6 +44,50 @@ def _dotp(a, b):
     return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
+def _ball_pairs_chunked(
+    table: jax.Array,  # [*, k] entity or relation table
+    proj: jax.Array,  # [R, k, k]
+    idx_a: jax.Array,  # int32 [P] rows of `table`
+    idx_r: jax.Array,  # int32 [P] rows of `proj`
+    lr: float,
+    max_iters: int,
+    scatter_mode: str,
+    chunk: int = 1024,
+) -> Tuple[jax.Array, jax.Array]:
+    """Apply the vectorised ‖a·W‖ ≤ 1 projector to (table[idx_a], proj[idx_r])
+    pairs in fixed-size chunks, delta-scattering after each chunk.
+
+    A lax.scan carries the tables so only one [chunk, k, k] gather is live at
+    a time; duplicate pairs across chunks accumulate exactly as the unchunked
+    delta-scatter did (fast-mode approximation, models/transh.py:120-123
+    discusses the same pattern)."""
+    from kb2e_tpu.ops import scatter
+
+    p = idx_a.shape[0]
+    pad = (-p) % chunk
+    # Padding pairs index row 0 with a ZERO delta (masked below).
+    mask = jnp.concatenate([jnp.ones(p, bool), jnp.zeros(pad, bool)])
+    ia = jnp.concatenate([idx_a, jnp.zeros(pad, idx_a.dtype)]).reshape(-1, chunk)
+    ir = jnp.concatenate([idx_r, jnp.zeros(pad, idx_r.dtype)]).reshape(-1, chunk)
+    mk = mask.reshape(-1, chunk)
+
+    ball = jax.vmap(lambda a, wm: projections.transr_ball_project(a, wm, lr, max_iters))
+
+    def body(tabs, sl):
+        table, proj = tabs
+        ia_c, ir_c, mk_c = sl
+        a_rows, w_rows = table[ia_c], proj[ir_c]
+        a_new, w_new = ball(a_rows, w_rows)
+        m1 = mk_c[:, None].astype(table.dtype)
+        m2 = mk_c[:, None, None].astype(proj.dtype)
+        table = scatter.scatter_add(table, ia_c, (a_new - a_rows) * m1, scatter_mode)
+        proj = scatter.scatter_add(proj, ir_c, (w_new - w_rows) * m2, scatter_mode)
+        return (table, proj), None
+
+    (table, proj), _ = jax.lax.scan(body, (table, proj), (ia, ir, mk))
+    return table, proj
+
+
 class TransR(base.Model):
     name = "transr"
     needs_projection = True
@@ -119,21 +163,23 @@ class TransR(base.Model):
         # The corrupted triple shares one entity with the positive (corruption
         # replaces exactly one side), so the distinct touched pairs per sample
         # are (h, r), (t, r) and (corrupted_entity, r).
-        ball = jax.vmap(
-            lambda a, wm: projections.transr_ball_project(a, wm, lr, cfg.projection_max_iters)
-        )
+        #
+        # Pairs are processed in fixed-size CHUNKS under a lax.scan carrying
+        # the tables: gathering proj[pair_r] for all 3B pairs at once
+        # materialises [3B, k, k] (580 MB at FB15k shapes) three times over
+        # (gather + vmapped-while carry + delta), which blows HBM peak inside
+        # the whole-epoch scan.  Chunking bounds live memory to ~[chunk, k, k]
+        # with identical numerics (pairs are independent; deltas accumulate
+        # in scatter order either way).
         corrupted = jnp.where(nh != ph, nh, nt)
-        pair_e = jnp.concatenate([ph, pt, corrupted])
-        pair_r = jnp.concatenate([r, r, r])
-        e_rows, w_rows = ent[pair_e], proj[pair_r]
-        e_new, w_new = ball(e_rows, w_rows)
-        ent = scatter.scatter_add(ent, pair_e, e_new - e_rows, cfg.scatter_mode)
-        proj = scatter.scatter_add(proj, pair_r, w_new - w_rows, cfg.scatter_mode)
-
-        r_rows, wr_rows = rel[r], proj[r]
-        r_new, wr_new = ball(r_rows, wr_rows)
-        rel = scatter.scatter_add(rel, r, r_new - r_rows, cfg.scatter_mode)
-        proj = scatter.scatter_add(proj, r, wr_new - wr_rows, cfg.scatter_mode)
+        ent, proj = _ball_pairs_chunked(
+            ent, proj,
+            jnp.concatenate([ph, pt, corrupted]), jnp.concatenate([r, r, r]),
+            lr, cfg.projection_max_iters, cfg.scatter_mode,
+        )
+        rel, proj = _ball_pairs_chunked(
+            rel, proj, r, r, lr, cfg.projection_max_iters, cfg.scatter_mode
+        )
 
         return {"entity": ent, "relation": rel, "proj": proj}, loss
 

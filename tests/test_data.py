@@ -79,3 +79,30 @@ def test_membership_contains():
         qh, qr, qt,
     )
     assert got.tolist() == [True, False, True, False, False]
+
+
+def test_skewed_kg_statistics():
+    """FB15k-statistics-matched generator: heavy-tailed degrees and a spread
+    of per-relation tph/hpt (the regime bern sampling targets)."""
+    from kb2e_tpu.data import synthetic
+
+    h, t, r = synthetic.skewed_kg(2000, 24, 12000, seed=3)
+    assert h.shape == t.shape == r.shape
+    assert h.max() < 2000 and r.max() < 24
+
+    deg = np.bincount(np.concatenate([h, t]), minlength=2000)
+    # Power-law-ish skew: the top decile is much busier than the median.
+    assert np.percentile(deg, 90) >= 2 * max(np.percentile(deg, 50), 1)
+
+    tph, hpt = [], []
+    for rel in np.unique(r):
+        m = r == rel
+        tph.append(m.sum() / len(np.unique(h[m])))
+        hpt.append(m.sum() / len(np.unique(t[m])))
+    tph, hpt = np.asarray(tph), np.asarray(hpt)
+    # Cardinality mix: both 1-side and N-side relations exist on each axis,
+    # so the bern tail-probability tph/(tph+hpt) genuinely varies.
+    pr = tph / (tph + hpt)
+    assert pr.min() < 0.35 and pr.max() > 0.65
+    assert (tph > 1.5).any() and (hpt > 1.5).any()
+    assert ((tph <= 1.5) & (hpt <= 1.5)).any()  # some 1-1 relations
