@@ -117,39 +117,75 @@ class TransR(base.Model):
         dist = self.effective_distance(cfg.distance)
         ph, pt, r, nh, nt = batch["ph"], batch["pt"], batch["r"], batch["nh"], batch["nt"]
 
-        w = proj[r]  # [B, k, k]
-        he, te, ne_h, ne_t, rv = ent[ph], ent[pt], ent[nh], ent[nt], rel[r]
-        hp = jnp.einsum("bj,bji->bi", he, w)
-        tp = jnp.einsum("bj,bji->bi", te, w)
-        np_h = jnp.einsum("bj,bji->bi", ne_h, w)
-        np_t = jnp.einsum("bj,bji->bi", ne_t, w)
-
-        res_pos = tp - hp - rv
-        res_neg = np_t - np_h - rv
-        e_pos = distances.residual_energy(res_pos, dist)
-        e_neg = distances.residual_energy(res_neg, dist)
-        viol = (e_pos + cfg.margin > e_neg) & batch["valid"]
-        loss = jnp.sum(jnp.where(viol, cfg.margin + e_pos - e_neg, 0.0))
-        m = viol.astype(res_pos.dtype)[:, None]
-
-        def xs(res):
-            x = 2.0 * res
-            if dist == Distance.L1:
-                x = jnp.where(x > 0, 1.0, -1.0)
-            return x * m
-
-        x_pos, x_neg = xs(res_pos), xs(res_neg)
-
-        # β = −1 (positive), +1 (corrupted); transr/trainer.cpp:147-171.
-        wx_pos = jnp.einsum("bji,bi->bj", w, x_pos)
-        wx_neg = jnp.einsum("bji,bi->bj", w, x_neg)
-        d_w = lr * (
-            jnp.einsum("bj,bi->bji", he - te, x_pos) - jnp.einsum("bj,bi->bji", ne_h - ne_t, x_neg)
-        )
+        # The gradient pass is CHUNKED under a lax.scan: gathering proj[r]
+        # and forming the two outer-product grads for the whole batch
+        # materialises ~5 × [B, k, k] at once (≈1 GB at FB15k shapes, which
+        # crashes the worker).  Each chunk reads the BATCH-START tables (ent,
+        # rel, proj are captured, never carried), so the fast-mode "all reads
+        # before all writes" semantics are unchanged; the per-relation d_w
+        # accumulates into a carried delta table, added to proj once at the
+        # end (same sums as the unchunked scatter, modulo fp ordering).
         from kb2e_tpu.ops import scatter
 
+        chunk = min(1024, ph.shape[0])
+        b = ph.shape[0]
+        pad = (-b) % chunk
+
+        def padc(a, fill=0):
+            return jnp.concatenate(
+                [a, jnp.full((pad,), fill, a.dtype)]
+            ).reshape(-1, chunk)
+
+        slices = (
+            padc(ph), padc(pt), padc(r), padc(nh), padc(nt),
+            padc(batch["valid"], fill=False),
+        )
+
+        def grad_chunk(d_proj, sl):
+            phi, pti, ri, nhi, nti, vi = sl
+            w = proj[ri]  # [c, k, k]
+            he, te, ne_h, ne_t, rv = ent[phi], ent[pti], ent[nhi], ent[nti], rel[ri]
+            hp = jnp.einsum("bj,bji->bi", he, w)
+            tp = jnp.einsum("bj,bji->bi", te, w)
+            np_h = jnp.einsum("bj,bji->bi", ne_h, w)
+            np_t = jnp.einsum("bj,bji->bi", ne_t, w)
+
+            res_pos = tp - hp - rv
+            res_neg = np_t - np_h - rv
+            e_pos = distances.residual_energy(res_pos, dist)
+            e_neg = distances.residual_energy(res_neg, dist)
+            viol = (e_pos + cfg.margin > e_neg) & vi
+            lterm = jnp.sum(jnp.where(viol, cfg.margin + e_pos - e_neg, 0.0))
+            m = viol.astype(res_pos.dtype)[:, None]
+
+            def xs(res):
+                x = 2.0 * res
+                if dist == Distance.L1:
+                    x = jnp.where(x > 0, 1.0, -1.0)
+                return x * m
+
+            x_pos, x_neg = xs(res_pos), xs(res_neg)
+
+            # β = −1 (positive), +1 (corrupted); transr/trainer.cpp:147-171.
+            wx_pos = jnp.einsum("bji,bi->bj", w, x_pos)
+            wx_neg = jnp.einsum("bji,bi->bj", w, x_neg)
+            d_w = lr * (
+                jnp.einsum("bj,bi->bji", he - te, x_pos)
+                - jnp.einsum("bj,bi->bji", ne_h - ne_t, x_neg)
+            )
+            d_proj = scatter.scatter_add(d_proj, ri, d_w, cfg.scatter_mode)
+            return d_proj, (x_pos, x_neg, wx_pos, wx_neg, lterm)
+
+        d_proj, (x_pos, x_neg, wx_pos, wx_neg, lterms) = jax.lax.scan(
+            grad_chunk, jnp.zeros_like(proj), slices
+        )
+        loss = jnp.sum(lterms)
+        x_pos, x_neg, wx_pos, wx_neg = (
+            a.reshape(b + pad, -1)[:b] for a in (x_pos, x_neg, wx_pos, wx_neg)
+        )
+
         rel = scatter.scatter_add(rel, r, lr * (x_pos - x_neg), cfg.scatter_mode)
-        proj = scatter.scatter_add(proj, r, d_w, cfg.scatter_mode)
+        proj = proj + d_proj
         idx = jnp.concatenate([ph, pt, nh, nt])
         delta = jnp.concatenate([lr * wx_pos, -lr * wx_pos, -lr * wx_neg, lr * wx_neg])
         ent = scatter.scatter_add(ent, idx, delta, cfg.scatter_mode)
