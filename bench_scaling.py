@@ -87,19 +87,26 @@ def main() -> None:
         print("(virtual CPU devices share host cores - efficiency figures are "
               "mechanical validation only, not hardware scaling)")
     if args.out:
-        with open(args.out, "w") as f:
-            json.dump(
-                {
-                    "mode": "weak",
-                    "backend": jax.default_backend(),
-                    "virtual_devices": virtual,
-                    "per_device_batch": args.batch,
-                    "steps": args.steps,
-                    "results": results,
-                },
-                f,
-                indent=1,
+        payload = {
+            "mode": "weak",
+            "backend": jax.default_backend(),
+            "virtual_devices": virtual,
+            "per_device_batch": args.batch,
+            "steps": args.steps,
+            "results": results,
+        }
+        if virtual:
+            # In-band marker so downstream tooling never ingests virtual-device
+            # "efficiency" as hardware scaling data (VERDICT r2, weak item 4).
+            payload["mechanics_only"] = True
+            payload["mechanics_only_reason"] = (
+                "all virtual devices share this host's physical cores; the "
+                "efficiency column measures core oversubscription, not "
+                "collective overhead — valid only as a compile/run check of "
+                "the sharded step"
             )
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
         print(f"wrote {args.out}")
 
 

