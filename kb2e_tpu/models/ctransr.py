@@ -143,82 +143,121 @@ class CTransR(transr.TransR):
         return distances.residual_energy(tp - hp - rv, distance)
 
     def batch_update(self, params, batch: base.Batch, cfg: EmbeddingConfig) -> Tuple[base.Params, jax.Array]:
-        ent, rel, rel_c, proj = (
-            params["entity"],
-            params["relation"],
-            params["relation_c"],
-            params["proj"],
-        )
-        lr = cfg.learning_rate
-        dist = self.effective_distance(cfg.distance)
-        ph, pt, r, nh, nt = batch["ph"], batch["pt"], batch["r"], batch["nh"], batch["nt"]
-
-        # Clusters are decided by the POSITIVE triple's offset; the corrupted
-        # triple scores against the same cluster vector (it corrupts the same
-        # relation instance).
-        c = self._cluster_ids(params, ph, pt, r)
-
-        w = proj[r]
-        he, te, ne_h, ne_t = ent[ph], ent[pt], ent[nh], ent[nt]
-        rv = rel_c[r, c]
-        hp = jnp.einsum("bj,bji->bi", he, w)
-        tp = jnp.einsum("bj,bji->bi", te, w)
-        np_h = jnp.einsum("bj,bji->bi", ne_h, w)
-        np_t = jnp.einsum("bj,bji->bi", ne_t, w)
-
-        res_pos = tp - hp - rv
-        res_neg = np_t - np_h - rv
-        e_pos = distances.residual_energy(res_pos, dist)
-        e_neg = distances.residual_energy(res_neg, dist)
-        viol = (e_pos + cfg.margin > e_neg) & batch["valid"]
-        loss = jnp.sum(jnp.where(viol, cfg.margin + e_pos - e_neg, 0.0))
-        m = viol.astype(res_pos.dtype)[:, None]
-
-        def xs(res):
-            x = 2.0 * res
-            if dist == Distance.L1:
-                x = jnp.where(x > 0, 1.0, -1.0)
-            return x * m
-
-        x_pos, x_neg = xs(res_pos), xs(res_neg)
-        wx_pos = jnp.einsum("bji,bi->bj", w, x_pos)
-        wx_neg = jnp.einsum("bji,bi->bj", w, x_neg)
-
-        d_w = lr * (
-            jnp.einsum("bj,bi->bji", he - te, x_pos) - jnp.einsum("bj,bi->bji", ne_h - ne_t, x_neg)
-        )
+        # Same CHUNK-SEQUENTIAL single-scan shape as TransR.batch_update (see
+        # models/transr.py): the whole-batch variant materialised several
+        # [B, k, k] buffers (~1 GB at FB15k shapes) inside the epoch scan, and
+        # the multi-phase grad/projector program shape miscompiles on the
+        # axon TPU backend.  One scan carries (ent, rel, rel_c, proj); the
+        # k-means `centers` are read-only (cluster routing only).
         from kb2e_tpu.ops import scatter
 
-        proj = scatter.scatter_add(proj, r, d_w, cfg.scatter_mode)
-        idx = jnp.concatenate([ph, pt, nh, nt])
-        delta = jnp.concatenate([lr * wx_pos, -lr * wx_pos, -lr * wx_neg, lr * wx_neg])
-        ent = scatter.scatter_add(ent, idx, delta, cfg.scatter_mode)
+        lr = cfg.learning_rate
+        dist = self.effective_distance(cfg.distance)
+        centers = params["centers"]
+        ph = batch["ph"]
+        b = ph.shape[0]
+        chunk = min(1024, b)
+        pad = (-b) % chunk
 
-        # Cluster vector update + α-regulariser toward the relation mean.
-        reg = 2.0 * self.alpha * (rv - rel[r]) * m
-        d_rc = lr * (x_pos - x_neg) - lr * reg
-        rel_c = rel_c.at[r, c].add(d_rc)
-        rel = rel.at[r].add(lr * reg)
+        def padc(a, fill=0):
+            return jnp.concatenate(
+                [a, jnp.full((pad,), fill, a.dtype)]
+            ).reshape(-1, chunk)
 
-        ent = projections.sphere_norm(ent)
-        rel = projections.ball_norm(rel)
-        rel_c = projections.sphere_norm(rel_c)
-        proj = projections.sphere_norm(proj)
-
-        ball = jax.vmap(
-            lambda a, wm: projections.transr_ball_project(a, wm, lr, cfg.projection_max_iters)
+        slices = (
+            padc(ph), padc(batch["pt"]), padc(batch["r"]),
+            padc(batch["nh"]), padc(batch["nt"]),
+            padc(batch["valid"], fill=False),
         )
-        corrupted = jnp.where(nh != ph, nh, nt)
-        pair_e = jnp.concatenate([ph, pt, corrupted])
-        pair_r = jnp.concatenate([r, r, r])
-        e_rows, w_rows = ent[pair_e], proj[pair_r]
-        e_new, w_new = ball(e_rows, w_rows)
-        ent = scatter.scatter_add(ent, pair_e, e_new - e_rows, cfg.scatter_mode)
-        proj = scatter.scatter_add(proj, pair_r, w_new - w_rows, cfg.scatter_mode)
+        ball = jax.vmap(
+            lambda a, wm: projections.transr_ball_project(
+                a, wm, lr, cfg.projection_max_iters
+            )
+        )
 
+        def chunk_step(tabs, sl):
+            ent, rel, rel_c, proj = tabs
+            phi, pti, ri, nhi, nti, vi = sl
+
+            # Clusters are decided by the POSITIVE triple's offset; the
+            # corrupted triple scores against the same cluster vector (it
+            # corrupts the same relation instance).
+            offsets = ent[pti] - ent[phi]
+            cdist = jnp.sum(jnp.square(offsets[:, None, :] - centers[ri]), axis=-1)
+            ci = jnp.argmin(cdist, axis=1).astype(jnp.int32)
+
+            w = proj[ri]
+            he, te, ne_h, ne_t = ent[phi], ent[pti], ent[nhi], ent[nti]
+            rv = rel_c[ri, ci]
+            hp = jnp.einsum("bj,bji->bi", he, w)
+            tp = jnp.einsum("bj,bji->bi", te, w)
+            np_h = jnp.einsum("bj,bji->bi", ne_h, w)
+            np_t = jnp.einsum("bj,bji->bi", ne_t, w)
+
+            res_pos = tp - hp - rv
+            res_neg = np_t - np_h - rv
+            e_pos = distances.residual_energy(res_pos, dist)
+            e_neg = distances.residual_energy(res_neg, dist)
+            viol = (e_pos + cfg.margin > e_neg) & vi
+            lterm = jnp.sum(jnp.where(viol, cfg.margin + e_pos - e_neg, 0.0))
+            m = viol.astype(res_pos.dtype)[:, None]
+
+            def xs(res):
+                x = 2.0 * res
+                if dist == Distance.L1:
+                    x = jnp.where(x > 0, 1.0, -1.0)
+                return x * m
+
+            x_pos, x_neg = xs(res_pos), xs(res_neg)
+            wx_pos = jnp.einsum("bji,bi->bj", w, x_pos)
+            wx_neg = jnp.einsum("bji,bi->bj", w, x_neg)
+
+            d_w = lr * (
+                jnp.einsum("bj,bi->bji", he - te, x_pos)
+                - jnp.einsum("bj,bi->bji", ne_h - ne_t, x_neg)
+            )
+            proj = scatter.scatter_add(proj, ri, d_w, cfg.scatter_mode)
+            idx = jnp.concatenate([phi, pti, nhi, nti])
+            delta = jnp.concatenate(
+                [lr * wx_pos, -lr * wx_pos, -lr * wx_neg, lr * wx_neg]
+            )
+            ent = scatter.scatter_add(ent, idx, delta, cfg.scatter_mode)
+
+            # Cluster vector update + α-regulariser toward the relation mean.
+            reg = 2.0 * self.alpha * (rv - rel[ri]) * m
+            d_rc = lr * (x_pos - x_neg) - lr * reg
+            rel_c = rel_c.at[ri, ci].add(d_rc)
+            rel = rel.at[ri].add(lr * reg)
+
+            ent = projections.sphere_norm(ent)
+            rel = projections.ball_norm(rel)
+            rel_c = projections.sphere_norm(rel_c)
+            proj = projections.sphere_norm(proj)
+
+            corrupted = jnp.where(nhi != phi, nhi, nti)
+            pair_e = jnp.concatenate([phi, pti, corrupted])
+            pair_r = jnp.concatenate([ri, ri, ri])
+            pair_m = jnp.concatenate([vi, vi, vi])
+            e_rows, w_rows = ent[pair_e], proj[pair_r]
+            e_new, w_new = ball(e_rows, w_rows)
+            m1 = pair_m[:, None].astype(ent.dtype)
+            m2 = pair_m[:, None, None].astype(proj.dtype)
+            ent = scatter.scatter_add(
+                ent, pair_e, (e_new - e_rows) * m1, cfg.scatter_mode
+            )
+            proj = scatter.scatter_add(
+                proj, pair_r, (w_new - w_rows) * m2, cfg.scatter_mode
+            )
+            return (ent, rel, rel_c, proj), lterm
+
+        tabs = (
+            params["entity"], params["relation"],
+            params["relation_c"], params["proj"],
+        )
+        (ent, rel, rel_c, proj), lterms = jax.lax.scan(chunk_step, tabs, slices)
         return (
-            {"entity": ent, "relation": rel, "relation_c": rel_c, "proj": proj, "centers": params["centers"]},
-            loss,
+            {"entity": ent, "relation": rel, "relation_c": rel_c, "proj": proj, "centers": centers},
+            jnp.sum(lterms),
         )
 
     has_parity_mode = False

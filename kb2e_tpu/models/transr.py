@@ -44,56 +44,6 @@ def _dotp(a, b):
     return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
-def _ball_pairs_chunked(
-    table: jax.Array,  # [*, k] entity or relation table
-    proj: jax.Array,  # [R, k, k]
-    idx_a: jax.Array,  # int32 [P] rows of `table`
-    idx_r: jax.Array,  # int32 [P] rows of `proj`
-    lr: float,
-    max_iters: int,
-    scatter_mode: str,
-    chunk: int = 1024,
-) -> Tuple[jax.Array, jax.Array]:
-    """Apply the vectorised ‖a·W‖ ≤ 1 projector to (table[idx_a], proj[idx_r])
-    pairs in fixed-size chunks, delta-scattering after each chunk.
-
-    A lax.scan carries the tables so only one [chunk, k, k] gather is live at
-    a time.  Duplicate semantics: WITHIN a chunk, duplicate pairs read the
-    same chunk-start snapshot and their deltas accumulate (the old unchunked
-    delta-scatter behavior); ACROSS chunks, a repeated pair (common for
-    proj[r]: each relation appears in ~3B/R pairs) reads rows already updated
-    by earlier chunks, i.e. applies sequentially — a deliberate fast-mode
-    approximation that is, if anything, closer to the reference's per-sample
-    sequential projector (transr/trainer.cpp:174-191) than the single-snapshot
-    variant was.  The fast-vs-parity statistical bridge for TransR is
-    tests/test_cross_train_parity.py."""
-    from kb2e_tpu.ops import scatter
-
-    p = idx_a.shape[0]
-    pad = (-p) % chunk
-    # Padding pairs index row 0 with a ZERO delta (masked below).
-    mask = jnp.concatenate([jnp.ones(p, bool), jnp.zeros(pad, bool)])
-    ia = jnp.concatenate([idx_a, jnp.zeros(pad, idx_a.dtype)]).reshape(-1, chunk)
-    ir = jnp.concatenate([idx_r, jnp.zeros(pad, idx_r.dtype)]).reshape(-1, chunk)
-    mk = mask.reshape(-1, chunk)
-
-    ball = jax.vmap(lambda a, wm: projections.transr_ball_project(a, wm, lr, max_iters))
-
-    def body(tabs, sl):
-        table, proj = tabs
-        ia_c, ir_c, mk_c = sl
-        a_rows, w_rows = table[ia_c], proj[ir_c]
-        a_new, w_new = ball(a_rows, w_rows)
-        m1 = mk_c[:, None].astype(table.dtype)
-        m2 = mk_c[:, None, None].astype(proj.dtype)
-        table = scatter.scatter_add(table, ia_c, (a_new - a_rows) * m1, scatter_mode)
-        proj = scatter.scatter_add(proj, ir_c, (w_new - w_rows) * m2, scatter_mode)
-        return (table, proj), None
-
-    (table, proj), _ = jax.lax.scan(body, (table, proj), (ia, ir, mk))
-    return table, proj
-
-
 class TransR(base.Model):
     name = "transr"
     needs_projection = True
@@ -118,24 +68,35 @@ class TransR(base.Model):
         return params["entity"] @ params["proj"][rel]
 
     def batch_update(self, params, batch: base.Batch, cfg: EmbeddingConfig) -> Tuple[base.Params, jax.Array]:
-        ent, rel, proj = params["entity"], params["relation"], params["proj"]
-        lr = cfg.learning_rate
-        dist = self.effective_distance(cfg.distance)
-        ph, pt, r, nh, nt = batch["ph"], batch["pt"], batch["r"], batch["nh"], batch["nt"]
-
-        # The gradient pass is CHUNKED under a lax.scan: gathering proj[r]
-        # and forming the two outer-product grads for the whole batch
-        # materialises ~5 × [B, k, k] at once (≈1 GB at FB15k shapes, which
-        # crashes the worker).  Each chunk reads the BATCH-START tables (ent,
-        # rel, proj are captured, never carried), so the fast-mode "all reads
-        # before all writes" semantics are unchanged; the per-relation d_w
-        # accumulates into a carried delta table, added to proj once at the
-        # end (same sums as the unchunked scatter, modulo fp ordering).
+        # Fast mode is CHUNK-SEQUENTIAL: one lax.scan carries (ent, rel,
+        # proj) and each chunk of ~1024 samples does the full pipeline —
+        # gather proj[r] once, closed-form grads (transr/trainer.cpp:144-172),
+        # scatter the updates, sphere-norm the tables, then the ‖e·W‖≤1 ball
+        # projector on the chunk's touched pairs.  Within a chunk all reads
+        # see the chunk-start snapshot and duplicate-row deltas accumulate;
+        # across chunks updates apply sequentially — a mini-batch refinement
+        # of the reference's per-sample SGD (smaller effective batch than the
+        # old whole-batch snapshot, i.e. CLOSER to the reference, and one
+        # pass over the data instead of separate grad/projector phases).
+        #
+        # Why chunked at all: gathering proj[r] plus the two outer-product
+        # grads for the whole batch materialises several [B, k, k] buffers
+        # (~1 GB at FB15k shapes) inside the whole-epoch scan.  Why one scan
+        # instead of the former separate grad-scan + projector-scan phases:
+        # that multi-phase program triggered a RUNTIME kernel fault in the
+        # axon TPU backend (compile succeeded, 156 MB temps — reproduced
+        # 2026-08-20 on every phase layout tried; each phase in isolation
+        # runs fine).  The single-scan shape avoids the miscompile and is
+        # cheaper: proj[r] is gathered once per chunk, not once per phase.
         from kb2e_tpu.ops import scatter
 
-        chunk = min(1024, ph.shape[0])
+        lr = cfg.learning_rate
+        dist = self.effective_distance(cfg.distance)
+        ph = batch["ph"]
         b = ph.shape[0]
+        chunk = min(1024, b)
         pad = (-b) % chunk
+        n_entities = params["entity"].shape[0]
 
         def padc(a, fill=0):
             return jnp.concatenate(
@@ -143,13 +104,20 @@ class TransR(base.Model):
             ).reshape(-1, chunk)
 
         slices = (
-            padc(ph), padc(pt), padc(r), padc(nh), padc(nt),
+            padc(ph), padc(batch["pt"]), padc(batch["r"]),
+            padc(batch["nh"]), padc(batch["nt"]),
             padc(batch["valid"], fill=False),
         )
+        ball = jax.vmap(
+            lambda a, wm: projections.transr_ball_project(
+                a, wm, lr, cfg.projection_max_iters
+            )
+        )
 
-        def grad_chunk(d_proj, sl):
+        def chunk_step(tabs, sl):
+            ent, rel, proj = tabs
             phi, pti, ri, nhi, nti, vi = sl
-            w = proj[ri]  # [c, k, k]
+            w = proj[ri]  # [c, k, k] — the one gather reused by grads below
             he, te, ne_h, ne_t, rv = ent[phi], ent[pti], ent[nhi], ent[nti], rel[ri]
             hp = jnp.einsum("bj,bji->bi", he, w)
             tp = jnp.einsum("bj,bji->bi", te, w)
@@ -179,52 +147,44 @@ class TransR(base.Model):
                 jnp.einsum("bj,bi->bji", he - te, x_pos)
                 - jnp.einsum("bj,bi->bji", ne_h - ne_t, x_neg)
             )
-            d_proj = scatter.scatter_add(d_proj, ri, d_w, cfg.scatter_mode)
-            return d_proj, (x_pos, x_neg, wx_pos, wx_neg, lterm)
+            proj = scatter.scatter_add(proj, ri, d_w, cfg.scatter_mode)
+            rel = scatter.scatter_add(rel, ri, lr * (x_pos - x_neg), cfg.scatter_mode)
+            idx = jnp.concatenate([phi, pti, nhi, nti])
+            delta = jnp.concatenate(
+                [lr * wx_pos, -lr * wx_pos, -lr * wx_neg, lr * wx_neg]
+            )
+            ent = scatter.scatter_add(ent, idx, delta, cfg.scatter_mode)
 
-        d_proj, (x_pos, x_neg, wx_pos, wx_neg, lterms) = jax.lax.scan(
-            grad_chunk, jnp.zeros_like(proj), slices
-        )
-        loss = jnp.sum(lterms)
-        x_pos, x_neg, wx_pos, wx_neg = (
-            a.reshape(b + pad, -1)[:b] for a in (x_pos, x_neg, wx_pos, wx_neg)
-        )
+            # Constraints (transr/trainer.cpp:174-191): sphere-norm the
+            # tables and W rows (idempotent whole-table — rows not touched
+            # this chunk are already unit), then ‖e·W‖ ≤ 1 on the touched
+            # pairs: (h, r), (t, r), (corrupted, r) and — the intent of bug
+            # B2 — the relation vector's own (rel_r, r) pair.
+            ent = projections.sphere_norm(ent)
+            rel = projections.sphere_norm(rel)
+            proj = projections.sphere_norm(proj)  # normalises W rows [j, :]
 
-        rel = scatter.scatter_add(rel, r, lr * (x_pos - x_neg), cfg.scatter_mode)
-        proj = proj + d_proj
-        idx = jnp.concatenate([ph, pt, nh, nt])
-        delta = jnp.concatenate([lr * wx_pos, -lr * wx_pos, -lr * wx_neg, lr * wx_neg])
-        ent = scatter.scatter_add(ent, idx, delta, cfg.scatter_mode)
+            corrupted = jnp.where(nhi != phi, nhi, nti)
+            pair_a = jnp.concatenate([phi, pti, corrupted, n_entities + ri])
+            pair_r = jnp.concatenate([ri, ri, ri, ri])
+            pair_m = jnp.concatenate([vi, vi, vi, vi])
+            fused = jnp.concatenate([ent, rel])
+            a_rows, w_rows = fused[pair_a], proj[pair_r]
+            a_new, w_new = ball(a_rows, w_rows)
+            m1 = pair_m[:, None].astype(fused.dtype)
+            m2 = pair_m[:, None, None].astype(proj.dtype)
+            fused = scatter.scatter_add(
+                fused, pair_a, (a_new - a_rows) * m1, cfg.scatter_mode
+            )
+            proj = scatter.scatter_add(
+                proj, pair_r, (w_new - w_rows) * m2, cfg.scatter_mode
+            )
+            ent, rel = fused[:n_entities], fused[n_entities:]
+            return (ent, rel, proj), lterm
 
-        # Constraints: sphere-norm tables and W rows (idempotent whole-table).
-        ent = projections.sphere_norm(ent)
-        rel = projections.sphere_norm(rel)
-        proj = projections.sphere_norm(proj)  # normalises last axis: W rows [j, :]
-
-        # ‖e·W‖ ≤ 1 on touched pairs + relation vectors, delta-scattered.
-        # The corrupted triple shares one entity with the positive (corruption
-        # replaces exactly one side), so the distinct touched pairs per sample
-        # are (h, r), (t, r) and (corrupted_entity, r).
-        #
-        # Pairs are processed in fixed-size CHUNKS under a lax.scan carrying
-        # the tables: gathering proj[pair_r] for all 3B pairs at once
-        # materialises [3B, k, k] (580 MB at FB15k shapes) three times over
-        # (gather + vmapped-while carry + delta), which blows HBM peak inside
-        # the whole-epoch scan.  Chunking bounds live memory to ~[chunk, k, k].
-        # Numerics: within-chunk duplicates keep the old snapshot+accumulate
-        # semantics; cross-chunk duplicates apply sequentially (see
-        # _ball_pairs_chunked docstring) — a fast-mode approximation.
-        corrupted = jnp.where(nh != ph, nh, nt)
-        ent, proj = _ball_pairs_chunked(
-            ent, proj,
-            jnp.concatenate([ph, pt, corrupted]), jnp.concatenate([r, r, r]),
-            lr, cfg.projection_max_iters, cfg.scatter_mode,
-        )
-        rel, proj = _ball_pairs_chunked(
-            rel, proj, r, r, lr, cfg.projection_max_iters, cfg.scatter_mode
-        )
-
-        return {"entity": ent, "relation": rel, "proj": proj}, loss
+        tabs = (params["entity"], params["relation"], params["proj"])
+        (ent, rel, proj), lterms = jax.lax.scan(chunk_step, tabs, slices)
+        return {"entity": ent, "relation": rel, "proj": proj}, jnp.sum(lterms)
 
     def sequential_update(self, params, batch: base.Batch, cfg: EmbeddingConfig) -> Tuple[base.Params, jax.Array]:
         impl = getattr(cfg, "parity_impl", "auto")
