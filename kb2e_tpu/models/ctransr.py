@@ -229,15 +229,24 @@ class CTransR(transr.TransR):
             rel_c = rel_c.at[ri, ci].add(d_rc)
             rel = rel.at[ri].add(lr * reg)
 
-            ent = projections.sphere_norm(ent)
-            rel = projections.ball_norm(rel)
-            rel_c = projections.sphere_norm(rel_c)
-            proj = projections.sphere_norm(proj)
+            # Row-wise constraint projections on TOUCHED rows only — the
+            # whole-table per-chunk rewrites both waste ~60 MB of traffic per
+            # chunk and trigger the axon-backend kernel fault documented in
+            # models/transr.py.  Unconditional on touched rows (idempotent;
+            # per-occurrence masking would race on duplicate indices).
+            def norm_rows(table, rows_idx, proj_fn):
+                return table.at[rows_idx].set(proj_fn(table[rows_idx]))
 
+            ent = norm_rows(ent, idx, projections.sphere_norm)
+            rel = norm_rows(rel, ri, projections.ball_norm)
+            rel_c = rel_c.at[ri, ci].set(projections.sphere_norm(rel_c[ri, ci]))
+            proj = norm_rows(proj, ri, projections.sphere_norm)
+
+            viol3 = jnp.concatenate([viol, viol, viol])
             corrupted = jnp.where(nhi != phi, nhi, nti)
             pair_e = jnp.concatenate([phi, pti, corrupted])
             pair_r = jnp.concatenate([ri, ri, ri])
-            pair_m = jnp.concatenate([vi, vi, vi])
+            pair_m = viol3
             e_rows, w_rows = ent[pair_e], proj[pair_r]
             e_new, w_new = ball(e_rows, w_rows)
             m1 = pair_m[:, None].astype(ent.dtype)
@@ -254,6 +263,15 @@ class CTransR(transr.TransR):
             params["entity"], params["relation"],
             params["relation_c"], params["proj"],
         )
+        if b <= chunk:
+            # Single chunk — no inner scan (see models/transr.py).
+            (ent, rel, rel_c, proj), lterm = chunk_step(
+                tabs, tuple(s[0] for s in slices)
+            )
+            return (
+                {"entity": ent, "relation": rel, "relation_c": rel_c, "proj": proj, "centers": centers},
+                lterm,
+            )
         (ent, rel, rel_c, proj), lterms = jax.lax.scan(chunk_step, tabs, slices)
         return (
             {"entity": ent, "relation": rel, "relation_c": rel_c, "proj": proj, "centers": centers},

@@ -47,6 +47,11 @@ def _dotp(a, b):
 class TransR(base.Model):
     name = "transr"
     needs_projection = True
+    # Fast mode is chunk-sequential (see batch_update); the epoch runner
+    # flattens epochs into chunk-sized mini-batches so the whole epoch is ONE
+    # un-nested lax.scan — nesting batch_update's chunk scan inside the epoch
+    # scan reproduces the axon-backend kernel fault described below.
+    chunk_size = 1024
 
     def init_params(self, key, n_entities, n_relations, cfg: EmbeddingConfig) -> base.Params:
         k = cfg.embedding_size
@@ -156,18 +161,35 @@ class TransR(base.Model):
             ent = scatter.scatter_add(ent, idx, delta, cfg.scatter_mode)
 
             # Constraints (transr/trainer.cpp:174-191): sphere-norm the
-            # tables and W rows (idempotent whole-table — rows not touched
-            # this chunk are already unit), then ‖e·W‖ ≤ 1 on the touched
-            # pairs: (h, r), (t, r), (corrupted, r) and — the intent of bug
-            # B2 — the relation vector's own (rel_r, r) pair.
-            ent = projections.sphere_norm(ent)
-            rel = projections.sphere_norm(rel)
-            proj = projections.sphere_norm(proj)  # normalises W rows [j, :]
+            # TOUCHED rows (the reference norms exactly the rows the update
+            # wrote, and only when the margin was violated), then ‖e·W‖ ≤ 1
+            # on the touched pairs: (h, r), (t, r), (corrupted, r) and — the
+            # intent of bug B2 — the relation vector's own (rel_r, r) pair.
+            # Row-wise on purpose: whole-table renormalisation per chunk is
+            # ~60 MB of pure rewrite traffic, and repeating the full-[R,k,k]
+            # rewrite inside a long scan triggers the axon-backend kernel
+            # fault this pipeline was shaped to avoid (isolated by probe:
+            # stubbing these norms made a 48-chunk epoch pass).
+            # Unconditional on touched rows: sphere_norm is idempotent, and a
+            # duplicate row index with per-occurrence masks would make the
+            # scatter-set racy (normed vs raw writes).  Rows indexed by
+            # padding (row 0) get normed too — same behaviour the old
+            # whole-table norm had for every row.
+            viol4 = jnp.concatenate([viol, viol, viol, viol])
+
+            def norm_rows(table, rows_idx):
+                return table.at[rows_idx].set(
+                    projections.sphere_norm(table[rows_idx])
+                )
+
+            ent = norm_rows(ent, idx)
+            rel = norm_rows(rel, ri)
+            proj = norm_rows(proj, ri)  # normalises W rows [j, :]
 
             corrupted = jnp.where(nhi != phi, nhi, nti)
             pair_a = jnp.concatenate([phi, pti, corrupted, n_entities + ri])
             pair_r = jnp.concatenate([ri, ri, ri, ri])
-            pair_m = jnp.concatenate([vi, vi, vi, vi])
+            pair_m = viol4
             fused = jnp.concatenate([ent, rel])
             a_rows, w_rows = fused[pair_a], proj[pair_r]
             a_new, w_new = ball(a_rows, w_rows)
@@ -183,6 +205,12 @@ class TransR(base.Model):
             return (ent, rel, proj), lterm
 
         tabs = (params["entity"], params["relation"], params["proj"])
+        if b <= chunk:
+            # Single chunk (the epoch runner feeds chunk-sized mini-batches):
+            # call the body directly — no inner scan, so the whole-epoch
+            # program stays a single un-nested lax.scan.
+            (ent, rel, proj), lterm = chunk_step(tabs, tuple(s[0] for s in slices))
+            return {"entity": ent, "relation": rel, "proj": proj}, lterm
         (ent, rel, proj), lterms = jax.lax.scan(chunk_step, tabs, slices)
         return {"entity": ent, "relation": rel, "proj": proj}, jnp.sum(lterms)
 

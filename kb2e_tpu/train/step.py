@@ -136,6 +136,13 @@ def batch_size_for(ts_num_triples: int, num_batches: int) -> int:
     return max(1, ts_num_triples // num_batches)
 
 
+# Chunks per launch for chunk-sequential models: the axon TPU backend's
+# runtime faults on long flat scans over the TransR chunk pipeline (~10 trips
+# per launch executes reliably, 120+ crashes the worker — see
+# make_epoch_runner).  Launch overhead at this size is ~1.4%.
+SEGMENT_CHUNKS = 10
+
+
 def make_epoch_runner(
     model: Model,
     cfg: EmbeddingConfig,
@@ -197,15 +204,19 @@ def make_epoch_runner(
         constrain_batch = lambda b: b  # noqa: E731
         constrain_params = lambda p: p  # noqa: E731
 
-    @functools.partial(jax.jit, static_argnames=("n_entities",), donate_argnames=("params",))
-    def epoch(params: Params, key: jax.Array, data: DeviceData, n_entities: int):
+    # K>1 negatives flatten each batch to batch_size*K pair rows.
+    rows = batch_size * max(1, cfg.num_negatives)
+    chunk_size = getattr(model, "chunk_size", None)
+    chunked = chunk_size is not None and not fused
+
+    def sample_all(key, data: DeviceData, n_entities: int):
+        """Pre-sample EVERY batch of the epoch in one block: sampling is
+        independent of the evolving parameters, and one [num_batches*B]
+        gather is bandwidth-bound where per-batch [B] gathers inside the
+        scan are latency-bound (measured ~5x difference on the epoch)."""
         use_paths = data.paths is not None
         if use_paths:
             key, k_nr = jax.random.split(key)
-        # Pre-sample EVERY batch of the epoch in one block: sampling is
-        # independent of the evolving parameters, and one [num_batches*B]
-        # gather is bandwidth-bound where per-batch [B] gathers inside the
-        # scan are latency-bound (measured ~5x difference on the epoch).
         big = corruption.sample_batch(
             key,
             data.heads,
@@ -228,29 +239,106 @@ def make_epoch_runner(
         )
         if use_paths:
             big = _with_path_data(k_nr, big, data, cfg.corruption_resample_rounds)
-        # K>1 negatives flatten each batch to batch_size*K pair rows.
-        rows = batch_size * max(1, cfg.num_negatives)
-        batches = Batch(
-            {k: v.reshape(num_batches, rows, *v.shape[1:]) for k, v in big.items()}
+        return big
+
+    if not chunked:
+        @functools.partial(jax.jit, static_argnames=("n_entities",), donate_argnames=("params",))
+        def epoch(params: Params, key: jax.Array, data: DeviceData, n_entities: int):
+            big = sample_all(key, data, n_entities)
+            batches = Batch(
+                {k: v.reshape(num_batches, rows, *v.shape[1:]) for k, v in big.items()}
+            )
+
+            if fused:
+                def body(table, batch):
+                    return model.fused_table_update(table, n_entities, batch, cfg)
+
+                table, losses = jax.lax.scan(
+                    body, model.fuse_params(params), batches, unroll=unroll
+                )
+                return model.unfuse_params(table, n_entities), losses.sum()
+
+            def body(params, batch):
+                params, loss = model.batch_update(params, constrain_batch(batch), cfg)
+                return constrain_params(params), loss
+
+            params, losses = jax.lax.scan(body, params, batches, unroll=unroll)
+            return params, losses.sum()
+
+        def run(params: Params, key: jax.Array, data: DeviceData):
+            return epoch(params, key, data, data.n_entities)
+
+        return run
+
+    # ---- Chunk-sequential models (TransR/CTransR) --------------------------
+    # Batch boundaries carry no semantics for these models — batch_update
+    # applies updates chunk-by-chunk anyway — so the epoch is flattened into
+    # chunk-sized mini-batches.  Two structural constraints, both from a
+    # runtime kernel fault in the axon TPU backend (reproduced 2026-08-20/21
+    # at FB15k shapes; see models/transr.py):
+    #   1. the chunk pipeline must NOT be nested as a scan inside an epoch
+    #      scan (nested-scan epoch programs crash the worker), and
+    #   2. a flat scan over the chunk pipeline must stay SHORT — ~10 trips
+    #      per launch executes reliably, 120+ trips crashes the worker.
+    # So the epoch runs as a few-launch pipeline: one sampling launch, then
+    # ceil(n_chunks / SEGMENT_CHUNKS) launches of a jitted segment scan.  At
+    # the measured ~10.7 ms/chunk, the ~1.5 ms dispatch per segment is ~1.4%
+    # overhead, and launches queue asynchronously (no sync until the caller
+    # fetches the loss).
+    # Never chunk COARSER than the configured batch: for small workloads
+    # (rows < chunk_size) this keeps the original batch granularity — the
+    # same number of sequential updates — instead of collapsing several
+    # batches into one padded snapshot chunk.
+    chunk = min(chunk_size, rows)
+    seg_chunks = SEGMENT_CHUNKS
+    total = num_batches * rows
+    n_chunks = -(-total // chunk)
+    n_segments = -(-n_chunks // seg_chunks)
+    padded = n_segments * seg_chunks * chunk
+
+    @functools.partial(jax.jit, static_argnames=("n_entities",))
+    def sample_epoch(key, data: DeviceData, n_entities: int):
+        big = sample_all(key, data, n_entities)
+        pad = padded - total
+
+        def padc(v):
+            if pad == 0:
+                return v
+            fill = jnp.zeros((pad, *v.shape[1:]), v.dtype)
+            return jnp.concatenate([v, fill])
+
+        big = Batch({k: padc(v) for k, v in big.items()})
+        if pad:
+            big = Batch({**big, "valid": big["valid"].at[total:].set(False)})
+        return Batch(
+            {k: v.reshape(-1, chunk, *v.shape[1:]) for k, v in big.items()}
         )
 
-        if fused:
-            def body(table, batch):
-                return model.fused_table_update(table, n_entities, batch, cfg)
+    @jax.jit
+    def seg_slice(batches: Batch, start):
+        return Batch(
+            {
+                k: jax.lax.dynamic_slice_in_dim(v, start, seg_chunks, 0)
+                for k, v in batches.items()
+            }
+        )
 
-            table, losses = jax.lax.scan(
-                body, model.fuse_params(params), batches, unroll=unroll
-            )
-            return model.unfuse_params(table, n_entities), losses.sum()
-
+    @functools.partial(jax.jit, donate_argnames=("params",))
+    def run_segment(params: Params, seg: Batch):
         def body(params, batch):
             params, loss = model.batch_update(params, constrain_batch(batch), cfg)
             return constrain_params(params), loss
 
-        params, losses = jax.lax.scan(body, params, batches, unroll=unroll)
+        params, losses = jax.lax.scan(body, params, seg, unroll=unroll)
         return params, losses.sum()
 
     def run(params: Params, key: jax.Array, data: DeviceData):
-        return epoch(params, key, data, data.n_entities)
+        batches = sample_epoch(key, data, data.n_entities)
+        losses = []
+        for s in range(n_segments):
+            seg = seg_slice(batches, jnp.int32(s * seg_chunks))
+            params, seg_loss = run_segment(params, seg)
+            losses.append(seg_loss)
+        return params, jnp.sum(jnp.stack(losses))
 
     return run
