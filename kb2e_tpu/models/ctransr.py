@@ -156,7 +156,10 @@ class CTransR(transr.TransR):
         centers = params["centers"]
         ph = batch["ph"]
         b = ph.shape[0]
-        chunk = min(1024, b)
+        # Chunk derived from self.chunk_size (see transr.py): keeps the epoch
+        # runner and this method agreeing on granularity so the single-scan
+        # (un-nested) program shape is preserved.
+        chunk = min(self.chunk_size, b)
         pad = (-b) % chunk
 
         def padc(a, fill=0):

@@ -99,7 +99,11 @@ class TransR(base.Model):
         dist = self.effective_distance(cfg.distance)
         ph = batch["ph"]
         b = ph.shape[0]
-        chunk = min(1024, b)
+        # Derive the inner chunk from self.chunk_size so this cannot diverge
+        # from make_epoch_runner's mini-batch sizing (which also reads
+        # chunk_size): a mismatch would re-introduce an inner scan nested in
+        # the epoch scan — the program shape that faults the axon backend.
+        chunk = min(self.chunk_size, b)
         pad = (-b) % chunk
         n_entities = params["entity"].shape[0]
 

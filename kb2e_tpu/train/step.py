@@ -11,6 +11,7 @@ replays the per-sample double-buffered semantics for allclose testing.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -138,9 +139,11 @@ def batch_size_for(ts_num_triples: int, num_batches: int) -> int:
 
 # Chunks per launch for chunk-sequential models: the axon TPU backend's
 # runtime faults on long flat scans over the TransR chunk pipeline (~10 trips
-# per launch executes reliably, 120+ crashes the worker — see
-# make_epoch_runner).  Launch overhead at this size is ~1.4%.
-SEGMENT_CHUNKS = 10
+# per launch executes reliably, 120+ crashes the worker — probe:
+# benchmarks/segment_probe.py; measurements: PERF.md "Axon segment fault").
+# Launch overhead at this size is ~1.4%.  Env-overridable so a backend update
+# can be re-probed and adopted without a code change.
+SEGMENT_CHUNKS = int(os.environ.get("KB2E_SEGMENT_CHUNKS", "10"))
 
 
 def make_epoch_runner(
@@ -290,6 +293,11 @@ def make_epoch_runner(
     # same number of sequential updates — instead of collapsing several
     # batches into one padded snapshot chunk.
     chunk = min(chunk_size, rows)
+    if mesh is not None:
+        # Keep the per-launch batch dim divisible by the data axis: GSPMD
+        # would otherwise pad the sharded dim and silently unbalance shards.
+        d = int(mesh.shape["data"])
+        chunk = max(d, (chunk // d) * d)
     seg_chunks = SEGMENT_CHUNKS
     total = num_batches * rows
     n_chunks = -(-total // chunk)
