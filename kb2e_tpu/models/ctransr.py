@@ -237,6 +237,25 @@ class CTransR(transr.TransR):
             # chunk and trigger the axon-backend kernel fault documented in
             # models/transr.py.  Unconditional on touched rows (idempotent;
             # per-occurrence masking would race on duplicate indices).
+            #
+            # DELIBERATE divergence from TransR.batch_update's constraint set
+            # (CTransR has no reference code — survey §0.1 — so the AAAI'15
+            # paper is the semantic anchor, not transr/trainer.cpp):
+            # * the SCORED vector is the per-cluster ``rel_c[r, c]`` — it gets
+            #   the same always-on sphere norm TransR's reference applies to
+            #   its scored relation vector (norm(..,false),
+            #   transr/trainer.cpp:174-180);
+            # * ``rel[r]`` is never scored here — it is only the
+            #   α-regulariser's anchor (the cluster mean r in the paper's
+            #   ‖r_c − r‖² term) — so it gets a ball bound to stay comparable
+            #   in scale, not the sphere projection of a scored vector;
+            # * no ‖r·W‖ ≤ 1 projector on either relation vector: that
+            #   constraint exists in our TransR only as the intent of the
+            #   reference's bug B2 (transr/trainer.cpp:187 indexes the entity
+            #   table with a relation id); the paper's constraint set —
+            #   ‖h‖,‖t‖,‖r_c‖ ≤ 1, ‖hW‖,‖tW‖ ≤ 1 — has no such term, and
+            #   with no reference binary there is no bug-intent to honour.
+            #   Entity-side ‖eW‖ ≤ 1 projections below match TransR exactly.
             def norm_rows(table, rows_idx, proj_fn):
                 return table.at[rows_idx].set(proj_fn(table[rows_idx]))
 
