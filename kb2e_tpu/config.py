@@ -75,6 +75,12 @@ class EmbeddingConfig:
     # Parity-mode implementation: 'auto' (fused Pallas kernel on TPU for
     # TransE, lax.scan elsewhere), 'scan', or 'pallas'.
     parity_impl: str = "auto"
+    # DIAGNOSTIC ONLY — comma-set of chunk-pipeline blocks to skip in the
+    # TransR/CTransR fast path ('scatter', 'norms', 'ball'), used by
+    # benchmarks/segment_probe.py to bisect the axon backend's runtime
+    # kernel fault (PERF.md "Axon segment fault").  Ablated runs are NOT
+    # semantically valid training.
+    debug_ablate: str = ""
     # Optional mesh axis sizes for distributed runs; None = single device.
     data_axis: Optional[int] = None
     model_axis: Optional[int] = None

@@ -172,11 +172,7 @@ class CTransR(transr.TransR):
             padc(batch["nh"]), padc(batch["nt"]),
             padc(batch["valid"], fill=False),
         )
-        ball = jax.vmap(
-            lambda a, wm: projections.transr_ball_project(
-                a, wm, lr, cfg.projection_max_iters
-            )
-        )
+        ablate = set(filter(None, cfg.debug_ablate.split(",")))
 
         def chunk_step(tabs, sl):
             ent, rel, rel_c, proj = tabs
@@ -264,21 +260,31 @@ class CTransR(transr.TransR):
             rel_c = rel_c.at[ri, ci].set(projections.sphere_norm(rel_c[ri, ci]))
             proj = norm_rows(proj, ri, projections.sphere_norm)
 
-            viol3 = jnp.concatenate([viol, viol, viol])
-            corrupted = jnp.where(nhi != phi, nhi, nti)
-            pair_e = jnp.concatenate([phi, pti, corrupted])
-            pair_r = jnp.concatenate([ri, ri, ri])
-            pair_m = viol3
-            e_rows, w_rows = ent[pair_e], proj[pair_r]
-            e_new, w_new = ball(e_rows, w_rows)
-            m1 = pair_m[:, None].astype(ent.dtype)
-            m2 = pair_m[:, None, None].astype(proj.dtype)
-            ent = scatter.scatter_add(
-                ent, pair_e, (e_new - e_rows) * m1, cfg.scatter_mode
-            )
-            proj = scatter.scatter_add(
-                proj, pair_r, (w_new - w_rows) * m2, cfg.scatter_mode
-            )
+            if "ball" not in ablate:
+                # ‖e·W‖ ≤ 1 on touched entities: ONE masked iteration of the
+                # coupled vector+matrix descent, exactly as in
+                # TransR.batch_update (see the comment there for why not a
+                # while_loop — axon kernel fault — and why not a-only
+                # closed-form scaling — quality collapse).
+                viol3 = jnp.concatenate([viol, viol, viol])
+                corrupted = jnp.where(nhi != phi, nhi, nti)
+                pair_e = jnp.concatenate([phi, pti, corrupted])
+                e_rows = ent[pair_e]
+                w_upd = proj[ri]
+                cc = ri.shape[0]
+                e3 = e_rows.reshape(3, cc, e_rows.shape[-1])
+                p3 = jnp.einsum("sbj,bji->sbi", e3, w_upd)
+                n2 = jnp.sum(jnp.square(p3), axis=-1, keepdims=True)
+                act = (n2 > 1.0) & viol3.reshape(3, cc, 1)
+                tmp3 = jnp.where(act, 2.0 * p3, 0.0)
+                d_w = -lr * jnp.einsum("sbj,sbi->bji", e3, tmp3)
+                proj = scatter.scatter_add(proj, ri, d_w, cfg.scatter_mode)
+                w_new = w_upd + d_w
+                e_new = e3 - lr * jnp.einsum("bji,sbi->sbj", w_new, tmp3)
+                ent = scatter.scatter_add(
+                    ent, pair_e, (e_new - e3).reshape(e_rows.shape),
+                    cfg.scatter_mode,
+                )
             return (ent, rel, rel_c, proj), lterm
 
         tabs = (

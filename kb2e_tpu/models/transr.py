@@ -95,6 +95,8 @@ class TransR(base.Model):
         # cheaper: proj[r] is gathered once per chunk, not once per phase.
         from kb2e_tpu.ops import scatter
 
+        # Diagnostic ablation (benchmarks/segment_probe.py — see config.py).
+        ablate = set(filter(None, cfg.debug_ablate.split(",")))
         lr = cfg.learning_rate
         dist = self.effective_distance(cfg.distance)
         ph = batch["ph"]
@@ -116,11 +118,6 @@ class TransR(base.Model):
             padc(ph), padc(batch["pt"]), padc(batch["r"]),
             padc(batch["nh"]), padc(batch["nt"]),
             padc(batch["valid"], fill=False),
-        )
-        ball = jax.vmap(
-            lambda a, wm: projections.transr_ball_project(
-                a, wm, lr, cfg.projection_max_iters
-            )
         )
 
         def chunk_step(tabs, sl):
@@ -152,17 +149,18 @@ class TransR(base.Model):
             # β = −1 (positive), +1 (corrupted); transr/trainer.cpp:147-171.
             wx_pos = jnp.einsum("bji,bi->bj", w, x_pos)
             wx_neg = jnp.einsum("bji,bi->bj", w, x_neg)
-            d_w = lr * (
-                jnp.einsum("bj,bi->bji", he - te, x_pos)
-                - jnp.einsum("bj,bi->bji", ne_h - ne_t, x_neg)
-            )
-            proj = scatter.scatter_add(proj, ri, d_w, cfg.scatter_mode)
-            rel = scatter.scatter_add(rel, ri, lr * (x_pos - x_neg), cfg.scatter_mode)
             idx = jnp.concatenate([phi, pti, nhi, nti])
-            delta = jnp.concatenate(
-                [lr * wx_pos, -lr * wx_pos, -lr * wx_neg, lr * wx_neg]
-            )
-            ent = scatter.scatter_add(ent, idx, delta, cfg.scatter_mode)
+            if "scatter" not in ablate:
+                d_w = lr * (
+                    jnp.einsum("bj,bi->bji", he - te, x_pos)
+                    - jnp.einsum("bj,bi->bji", ne_h - ne_t, x_neg)
+                )
+                proj = scatter.scatter_add(proj, ri, d_w, cfg.scatter_mode)
+                rel = scatter.scatter_add(rel, ri, lr * (x_pos - x_neg), cfg.scatter_mode)
+                delta = jnp.concatenate(
+                    [lr * wx_pos, -lr * wx_pos, -lr * wx_neg, lr * wx_neg]
+                )
+                ent = scatter.scatter_add(ent, idx, delta, cfg.scatter_mode)
 
             # Constraints (transr/trainer.cpp:174-191): sphere-norm the
             # TOUCHED rows (the reference norms exactly the rows the update
@@ -186,26 +184,53 @@ class TransR(base.Model):
                     projections.sphere_norm(table[rows_idx])
                 )
 
-            ent = norm_rows(ent, idx)
-            rel = norm_rows(rel, ri)
-            proj = norm_rows(proj, ri)  # normalises W rows [j, :]
+            if "norms" not in ablate:
+                ent = norm_rows(ent, idx)
+                rel = norm_rows(rel, ri)
+                proj = norm_rows(proj, ri)  # normalises W rows [j, :]
 
-            corrupted = jnp.where(nhi != phi, nhi, nti)
-            pair_a = jnp.concatenate([phi, pti, corrupted, n_entities + ri])
-            pair_r = jnp.concatenate([ri, ri, ri, ri])
-            pair_m = viol4
-            fused = jnp.concatenate([ent, rel])
-            a_rows, w_rows = fused[pair_a], proj[pair_r]
-            a_new, w_new = ball(a_rows, w_rows)
-            m1 = pair_m[:, None].astype(fused.dtype)
-            m2 = pair_m[:, None, None].astype(proj.dtype)
-            fused = scatter.scatter_add(
-                fused, pair_a, (a_new - a_rows) * m1, cfg.scatter_mode
-            )
-            proj = scatter.scatter_add(
-                proj, pair_r, (w_new - w_rows) * m2, cfg.scatter_mode
-            )
-            ent, rel = fused[:n_entities], fused[n_entities:]
+            if "ball" not in ablate:
+                # Fast-mode ‖a·W‖ ≤ 1 on the touched pairs: (h, r), (t, r),
+                # (corrupted, r) and — the intent of bug B2 — the relation
+                # vector's own pair.  ONE masked iteration of the reference's
+                # coupled descent (transRNorm, transr/trainer.cpp:34-64):
+                # tmp = 2·aW;  W -= rate·outer(a, tmp);  a -= rate·W'·tmp —
+                # straight-line code, no while_loop.  The former vmapped
+                # bounded-while projector lowered to a [4c,k,k]-carry loop
+                # with data-dependent trips, which has a runtime kernel
+                # fault on the axon backend (isolated by ablation:
+                # benchmarks/segment_probe.py --epoch --ablate ball); a
+                # single iteration per visit keeps the reference's gradual
+                # vector+matrix enforcement (rows are revisited constantly)
+                # without the faulty program shape.  A-only closed-form
+                # scaling was tried and REJECTED: with W untouched the next
+                # sphere-norm undoes the shrink and quality collapses
+                # (caught by tests/test_transr_parity_bridge.py).
+                corrupted = jnp.where(nhi != phi, nhi, nti)
+                pair_a = jnp.concatenate([phi, pti, corrupted, n_entities + ri])
+                fused = jnp.concatenate([ent, rel])
+                a_rows = fused[pair_a]
+                # All four pair groups share the chunk's relation ids, so the
+                # (updated) W is gathered once [c, k, k] and reused 4×.
+                w_upd = proj[ri]
+                c = ri.shape[0]
+                a4 = a_rows.reshape(4, c, a_rows.shape[-1])
+                p4 = jnp.einsum("sbj,bji->sbi", a4, w_upd)
+                n2 = jnp.sum(jnp.square(p4), axis=-1, keepdims=True)
+                act = (n2 > 1.0) & viol4.reshape(4, c, 1)
+                tmp = jnp.where(act, 2.0 * p4, 0.0)
+                # W -= rate·Σ_groups outer(a, tmp): the reference applies the
+                # four pair updates sequentially; summed here (scatter-add
+                # accumulates duplicates exactly like the gradient block).
+                d_w = -lr * jnp.einsum("sbj,sbi->bji", a4, tmp)
+                proj = scatter.scatter_add(proj, ri, d_w, cfg.scatter_mode)
+                w_new = w_upd + d_w
+                a_new = a4 - lr * jnp.einsum("bji,sbi->sbj", w_new, tmp)
+                delta = (a_new - a4).reshape(a_rows.shape)
+                fused = scatter.scatter_add(
+                    fused, pair_a, delta, cfg.scatter_mode
+                )
+                ent, rel = fused[:n_entities], fused[n_entities:]
             return (ent, rel, proj), lterm
 
         tabs = (params["entity"], params["relation"], params["proj"])

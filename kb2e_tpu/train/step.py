@@ -340,12 +340,22 @@ def make_epoch_runner(
         params, losses = jax.lax.scan(body, params, seg, unroll=unroll)
         return params, losses.sum()
 
+    # Diagnostic knob (KB2E_SEGMENT_SYNC=1): fetch each segment's loss
+    # before dispatching the next launch, serialising the launch queue.
+    # Used while bisecting the r04 axon kernel fault (it did NOT avoid the
+    # fault — the trigger was the vmapped while-loop ball projector, since
+    # replaced; see models/transr.py and PERF.md "Axon segment fault").
+    # Default off: async queueing is correct and hides the ~33 ms tunnel RTT.
+    segment_sync = os.environ.get("KB2E_SEGMENT_SYNC", "0") == "1"
+
     def run(params: Params, key: jax.Array, data: DeviceData):
         batches = sample_epoch(key, data, data.n_entities)
         losses = []
         for s in range(n_segments):
             seg = seg_slice(batches, jnp.int32(s * seg_chunks))
             params, seg_loss = run_segment(params, seg)
+            if segment_sync:
+                float(seg_loss)
             losses.append(seg_loss)
         return params, jnp.sum(jnp.stack(losses))
 
