@@ -137,13 +137,18 @@ def batch_size_for(ts_num_triples: int, num_batches: int) -> int:
     return max(1, ts_num_triples // num_batches)
 
 
-# Chunks per launch for chunk-sequential models: the axon TPU backend's
-# runtime faults on long flat scans over the TransR chunk pipeline (~10 trips
-# per launch executes reliably, 120+ crashes the worker — probe:
-# benchmarks/segment_probe.py; measurements: PERF.md "Axon segment fault").
-# Launch overhead at this size is ~1.4%.  Env-overridable so a backend update
-# can be re-probed and adopted without a code change.
-SEGMENT_CHUNKS = int(os.environ.get("KB2E_SEGMENT_CHUNKS", "10"))
+# Chunks per launch for chunk-sequential models.  History: the r03/r04 axon
+# backend had a runtime kernel fault on the chunk pipeline that forced short
+# segments (10 trips in r03; by r04 even 5 crashed).  The trigger — the
+# vmapped while-loop ball projector — was isolated by ablation and replaced
+# with straight-line code (models/transr.py), after which a FULL 472-chunk
+# FB15k epoch executes reliably as one launch (probe ladder 40/120/472 all
+# pass, 1.9-2.6 ms/chunk — PERF.md "Axon segment fault").  The default now
+# fuses typical epochs into one launch; segmentation machinery stays as
+# probe-backed insurance (re-probe: benchmarks/segment_probe.py) and for
+# very large datasets.  Env-overridable for fault triage without a code
+# change.
+SEGMENT_CHUNKS = int(os.environ.get("KB2E_SEGMENT_CHUNKS", "512"))
 
 
 def make_epoch_runner(
