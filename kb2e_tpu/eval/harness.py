@@ -16,6 +16,7 @@ one group.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -61,6 +62,11 @@ class _FilterIndex:
         valid = idx < hi[:, None]
         safe = np.minimum(idx, max(self._values.shape[0] - 1, 0))
         return np.where(valid, self._values[safe], -1).astype(np.int32)
+
+    @property
+    def values(self) -> np.ndarray:
+        """The sorted candidate array `lookup` bounds index into."""
+        return self._values
 
 
 def _round_up_pow2(x: int, lo: int = 8) -> int:
@@ -111,6 +117,61 @@ class EvalAccumulator:
             out[f"raw_hits{k}"] = self.raw_hits[k] / n
             out[f"filtered_hits{k}"] = self.filtered_hits[k] / n
         return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "distance", "block_size", "batch", "kmax", "use_pallas"
+    ),
+)
+def _rank_all_scan(
+    model: Model,
+    params: Params,
+    rel_ids: jax.Array,  # int32 [NB] relation per batch
+    starts: jax.Array,  # int32 [NB] feed offset per batch
+    q_anchor: jax.Array,
+    q_sign: jax.Array,
+    q_rel: jax.Array,
+    q_true: jax.Array,
+    q_lo: jax.Array,
+    q_count: jax.Array,
+    filt_vals: jax.Array,
+    distance: Distance,
+    block_size: int,
+    batch: int,
+    kmax: int,
+    use_pallas: bool,
+):
+    """The whole link-prediction eval as ONE program: lax.scan over batches,
+    each trip = per-relation projection (+pad) + device-side candidate
+    gather + blockwise rank sweep (ranking.rank_feed_queries).
+
+    Module-level and keyed on the (singleton) model instance so repeated
+    evaluations in a process — train loops with ``eval_every``, benchmark
+    sweeps — reuse the compiled executable instead of recompiling a
+    per-call closure.
+    """
+    entity_padded = ranking.pad_entities(params["entity"], block_size)
+
+    def body(carry, x):
+        rel_id, start = x
+        if model.needs_projection:
+            pp = ranking.pad_entities(
+                model.project_entities(params, rel_id), block_size
+            )
+        else:
+            pp = entity_padded
+        rr, fr = ranking.rank_feed_queries(
+            pp, params["relation"],
+            q_anchor, q_sign, q_rel, q_true, q_lo, q_count, filt_vals,
+            start, distance, block_size, batch, kmax,
+            use_pallas=use_pallas,
+        )
+        return carry, (rr, fr)
+
+    _, (raws, filts) = jax.lax.scan(body, 0, (rel_ids, starts))
+    return raws, filts
 
 
 def evaluate(
@@ -214,6 +275,51 @@ def evaluate(
     entity_table = params["entity"]
     rel_table = params["relation"]
     cluster_aware = getattr(model, "cluster_aware", False)
+    # Device-resident query feed (single chip, non-cluster models): every
+    # query's data is uploaded ONCE and the whole eval runs as one scan
+    # dispatch (_rank_all_scan).  Groups are padded to a multiple of the
+    # batch so no batch spans two relations.  CTransR stays on the
+    # per-batch path: its cluster-routed sweep inside lax.scan crashes the
+    # axon backend's TPU worker (r04, same class of runtime kernel fault as
+    # PERF.md "Axon segment fault" — suspected [B,block,C,k] L1 broadcast
+    # temp under the scan scheduler), while the per-batch program is stable.
+    use_device_feed = mesh is None and not cluster_aware
+    if use_device_feed:
+        heads_len = heads_of_tr.values.shape[0]
+        filt_vals_np = np.concatenate([heads_of_tr.values, tails_of_hr.values])
+        q_lo_adj = q_lo.copy()
+        q_lo_adj[1::2] += heads_len  # odd slots index the tails partition
+
+        feed_groups = []  # (rel_id, feed_start, n_real, kmax)
+        sel_parts = []  # real-query index per feed slot (−1 = pad row)
+        pos = 0
+        for rel_id, idxs in group_iter:
+            n_real = idxs.shape[0]
+            n_slot = -(-n_real // batch_size) * batch_size
+            part = np.full(n_slot, -1, dtype=np.int64)
+            part[:n_real] = idxs
+            sel_parts.append(part)
+            kmax_g = _round_up_pow2(int(q_count[idxs].max(initial=1)))
+            feed_groups.append((rel_id, pos, n_real, kmax_g))
+            pos += n_slot
+        feed_sel = np.concatenate(sel_parts)
+        pad_mask = feed_sel < 0
+        safe_sel = np.maximum(feed_sel, 0)
+
+        def feed_arr(src, fill, dtype):
+            out = src[safe_sel].astype(dtype)
+            out[pad_mask] = fill
+            return jnp.asarray(out)
+
+        feed = dict(
+            q_anchor=feed_arr(q_anchor, 0, np.int32),
+            q_sign=feed_arr(q_sign, 0.0, np.float32),
+            q_rel=feed_arr(q_rel, 0, np.int32),
+            q_true=feed_arr(q_true, 0, np.int32),
+            q_lo=feed_arr(q_lo_adj, 0, np.int32),
+            q_count=feed_arr(q_count, 0, np.int32),
+            filt_vals=jnp.asarray(filt_vals_np, dtype=jnp.int32),
+        )
     sharded_rank_fn = None
     sharded_cluster_fn = None
     if mesh is not None:
@@ -228,7 +334,7 @@ def evaluate(
             )
         else:
             sharded_rank_fn = par_eval.make_sharded_rank_fn(mesh, distance, block_size)
-    if cluster_aware:
+    if cluster_aware and not use_device_feed:
         from kb2e_tpu.eval import ranking_cluster
 
         if sharded_cluster_fn is not None:
@@ -239,6 +345,43 @@ def evaluate(
         else:
             entity_padded = ranking.pad_entities(entity_table, block_size)
     processed = 0
+    if use_device_feed:
+        # The WHOLE eval as one dispatch: a lax.scan over every batch, each
+        # trip doing the per-relation projection (the reference's
+        # energy-cache analogue — an [N,k]·[k,k] MXU matmul recomputed per
+        # trip, ~µs where an eager per-group call costs a tunnel
+        # round-trip), the device-side candidate gather and the blockwise
+        # rank sweep.  One compile (global kmax), one launch, one result
+        # fetch — per-batch host→device transfers and dispatch round-trips,
+        # which dominated eval wall time on tunneled backends (~50 ms/batch
+        # fixed vs <1 ms device work), are gone entirely.
+        kmax_all = _round_up_pow2(int(q_count.max(initial=1)))
+        batch_rel = []
+        batch_start = []
+        batch_b = []
+        for rel_id, feed_start, n_real, _kmax_g in feed_groups:
+            for s in range(0, n_real, batch_size):
+                batch_rel.append(rel_id)
+                batch_start.append(feed_start + s)
+                batch_b.append(min(batch_size, n_real - s))
+        rel_ids_d = jnp.asarray(np.asarray(batch_rel, dtype=np.int32))
+        starts_d = jnp.asarray(np.asarray(batch_start, dtype=np.int32))
+
+        raws, filts = _rank_all_scan(
+            model, params, rel_ids_d, starts_d,
+            feed["q_anchor"], feed["q_sign"], feed["q_rel"],
+            feed["q_true"], feed["q_lo"], feed["q_count"],
+            feed["filt_vals"],
+            distance, block_size, batch_size, kmax_all, use_pallas,
+        )
+        raws, filts = np.asarray(raws), np.asarray(filts)
+        for i, b in enumerate(batch_b):
+            acc.add(raws[i, :b], filts[i, :b])
+            processed += b
+        if verbose:
+            print(f"\rProcessed {processed * 100.0 / (2 * n_test):05.2f}% ...")
+        return acc.metrics()
+
     for rel_id, idxs in group_iter:
         if model.needs_projection:
             proj = model.project_entities(params, jnp.int32(rel_id))

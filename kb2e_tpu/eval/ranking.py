@@ -144,6 +144,62 @@ def rank_anchor_queries(
     return rank_queries(proj_padded, queries, true_idx, filter_cands, distance, block_size)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("distance", "block_size", "batch", "kmax", "use_pallas", "interpret"),
+)
+def rank_feed_queries(
+    proj_padded: jax.Array,  # [N_pad, k]
+    rel_table: jax.Array,  # [R, k]
+    q_anchor: jax.Array,  # int32 [Q_pad] — whole-eval feed, device-resident
+    q_sign: jax.Array,  # float32 [Q_pad]
+    q_rel: jax.Array,  # int32 [Q_pad]
+    q_true: jax.Array,  # int32 [Q_pad]
+    q_lo: jax.Array,  # int32 [Q_pad] offsets into filt_vals
+    q_count: jax.Array,  # int32 [Q_pad] filter-candidate counts
+    filt_vals: jax.Array,  # int32 [F] concatenated sorted known-good ids
+    start,  # int32 scalar — batch start within the feed
+    distance: Distance,
+    block_size: int,
+    batch: int,
+    kmax: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Device-feed variant of :func:`rank_anchor_queries`.
+
+    The eval harness uploads ALL query data (anchors, signs, relations, true
+    ids, filter-segment bounds and the flat sorted filter-candidate array)
+    to the device once; each batch is then ONE dispatch carrying a scalar
+    ``start`` — no per-batch host→device transfers, whose round-trips
+    dominated eval wall time on tunneled backends (~55 ms/batch fixed cost
+    measured in EVAL_MODELS_r04; the device work per batch is <1 ms).
+    Candidate lists are built on device by gathering ``filt_vals`` at
+    ``lo + iota`` masked by ``count`` — identical values to the host-side
+    ``_FilterIndex.padded`` construction.
+    """
+
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a, start, batch, 0)
+
+    anchor, sign, rels = sl(q_anchor), sl(q_sign), sl(q_rel)
+    true_idx, lo, cnt = sl(q_true), sl(q_lo), sl(q_count)
+    iota = jnp.arange(kmax, dtype=jnp.int32)[None, :]
+    pos = lo[:, None] + iota
+    valid = iota < cnt[:, None]
+    safe = jnp.minimum(pos, max(filt_vals.shape[0] - 1, 0))
+    filter_cands = jnp.where(valid, filt_vals[safe], -1)
+    queries = proj_padded[anchor] + sign[:, None] * rel_table[rels]
+    if use_pallas:
+        return rank_queries_pallas(
+            proj_padded, queries, true_idx, filter_cands, distance, block_size,
+            interpret=interpret,
+        )
+    return rank_queries(
+        proj_padded, queries, true_idx, filter_cands, distance, block_size
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("distance", "block_size", "interpret"))
 def rank_queries_pallas(
     proj_padded: jax.Array,
