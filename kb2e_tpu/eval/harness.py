@@ -174,6 +174,111 @@ def _rank_all_scan(
     return raws, filts
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "distance", "block_size", "batch", "kmax"
+    ),
+)
+def _rank_seg_clustered(
+    model: Model,
+    params: Params,
+    rel_ids: jax.Array,  # int32 [S] — one scan segment of batches
+    starts: jax.Array,  # int32 [S]
+    q_anchor: jax.Array,
+    q_sign: jax.Array,
+    q_true: jax.Array,
+    q_lo: jax.Array,
+    q_count: jax.Array,
+    filt_vals: jax.Array,
+    distance: Distance,
+    block_size: int,
+    batch: int,
+    kmax: int,
+):
+    """A SHORT scan over cluster-routed batches (segment of the eval).
+
+    CTransR's routed sweep inside a full-length eval scan crashes the axon
+    backend's TPU worker; short segments execute reliably (the same
+    empirical pattern as the training-side segmenting, PERF.md "Axon
+    segment fault").  Segment length: KB2E_CLUSTER_EVAL_SEGMENT (0 = use
+    one dispatch per batch)."""
+    entity_padded = ranking.pad_entities(params["entity"], block_size)
+
+    def body(carry, x):
+        rel_id, start = x
+        rr, fr = _rank_batch_clustered_body(
+            model, params, entity_padded, rel_id, start,
+            q_anchor, q_sign, q_true, q_lo, q_count, filt_vals,
+            distance, block_size, batch, kmax,
+        )
+        return carry, (rr, fr)
+
+    _, (raws, filts) = jax.lax.scan(body, 0, (rel_ids, starts))
+    return raws, filts
+
+
+def _rank_batch_clustered_body(
+    model, params, entity_padded, rel_id, start,
+    q_anchor, q_sign, q_true, q_lo, q_count, filt_vals,
+    distance, block_size, batch, kmax,
+):
+    from kb2e_tpu.eval import ranking_cluster
+
+    pp = ranking.pad_entities(
+        model.project_entities(params, rel_id), block_size
+    )
+
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a, start, batch, 0)
+
+    anchor, sign, true_idx = sl(q_anchor), sl(q_sign), sl(q_true)
+    lo, cnt = sl(q_lo), sl(q_count)
+    iota = jnp.arange(kmax, dtype=jnp.int32)[None, :]
+    pos = lo[:, None] + iota
+    valid = iota < cnt[:, None]
+    safe = jnp.minimum(pos, max(filt_vals.shape[0] - 1, 0))
+    filter_cands = jnp.where(valid, filt_vals[safe], -1)
+    return ranking_cluster.rank_queries_clustered(
+        pp, entity_padded, pp[anchor], entity_padded[anchor], sign,
+        model.cluster_vectors(params, rel_id),
+        model.cluster_centers(params, rel_id),
+        true_idx, filter_cands, distance, block_size,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "distance", "block_size", "batch", "kmax"
+    ),
+)
+def _rank_batch_clustered(
+    model: Model,
+    params: Params,
+    rel_id: jax.Array,
+    start: jax.Array,
+    q_anchor: jax.Array,
+    q_sign: jax.Array,
+    q_true: jax.Array,
+    q_lo: jax.Array,
+    q_count: jax.Array,
+    filt_vals: jax.Array,
+    distance: Distance,
+    block_size: int,
+    batch: int,
+    kmax: int,
+):
+    """One cluster-routed batch as ONE dispatch from the device feed
+    (fallback when KB2E_CLUSTER_EVAL_SEGMENT=0; see _rank_seg_clustered)."""
+    ep = ranking.pad_entities(params["entity"], block_size)
+    return _rank_batch_clustered_body(
+        model, params, ep, rel_id, start,
+        q_anchor, q_sign, q_true, q_lo, q_count, filt_vals,
+        distance, block_size, batch, kmax,
+    )
+
+
 def evaluate(
     model: Model,
     params: Params,
@@ -275,15 +380,16 @@ def evaluate(
     entity_table = params["entity"]
     rel_table = params["relation"]
     cluster_aware = getattr(model, "cluster_aware", False)
-    # Device-resident query feed (single chip, non-cluster models): every
-    # query's data is uploaded ONCE and the whole eval runs as one scan
-    # dispatch (_rank_all_scan).  Groups are padded to a multiple of the
-    # batch so no batch spans two relations.  CTransR stays on the
-    # per-batch path: its cluster-routed sweep inside lax.scan crashes the
-    # axon backend's TPU worker (r04, same class of runtime kernel fault as
-    # PERF.md "Axon segment fault" — suspected [B,block,C,k] L1 broadcast
-    # temp under the scan scheduler), while the per-batch program is stable.
-    use_device_feed = mesh is None and not cluster_aware
+    # Device-resident query feed (all single-chip models): every query's
+    # data is uploaded ONCE.  Non-cluster models run the whole eval as one
+    # scan dispatch (_rank_all_scan); CTransR runs one dispatch PER BATCH
+    # off the same feed (_rank_batch_clustered) — its cluster-routed sweep
+    # inside lax.scan crashes the axon backend's TPU worker (r04, same
+    # class of runtime kernel fault as PERF.md "Axon segment fault" —
+    # suspected [B,block,C,k] L1 broadcast temp under the scan scheduler),
+    # while the per-batch program is stable.  Groups are padded to a
+    # multiple of the batch so no batch spans two relations.
+    use_device_feed = mesh is None
     if use_device_feed:
         heads_len = heads_of_tr.values.shape[0]
         filt_vals_np = np.concatenate([heads_of_tr.values, tails_of_hr.values])
@@ -364,6 +470,64 @@ def evaluate(
                 batch_rel.append(rel_id)
                 batch_start.append(feed_start + s)
                 batch_b.append(min(batch_size, n_real - s))
+        if cluster_aware:
+            import os
+
+            seg = int(os.environ.get("KB2E_CLUSTER_EVAL_SEGMENT", "16"))
+            nb = len(batch_rel)
+            if seg > 0:
+                # Short scan segments (full-length scans of the routed
+                # sweep crash the axon worker; see _rank_seg_clustered).
+                # The final segment is padded by repeating its last batch
+                # (results of pad slots are dropped at drain).
+                rel_np = np.asarray(batch_rel, dtype=np.int32)
+                start_np = np.asarray(batch_start, dtype=np.int32)
+                for s0 in range(0, nb, seg):
+                    idx = np.arange(s0, min(s0 + seg, nb))
+                    pad_n = seg - idx.shape[0]
+                    idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad_n)])
+                    raws, filts = _rank_seg_clustered(
+                        model, params,
+                        jnp.asarray(rel_np[idx_p]), jnp.asarray(start_np[idx_p]),
+                        feed["q_anchor"], feed["q_sign"], feed["q_true"],
+                        feed["q_lo"], feed["q_count"], feed["filt_vals"],
+                        distance, block_size, batch_size, kmax_all,
+                    )
+                    pending.append((raws, filts, idx))
+                    processed += int(sum(batch_b[i] for i in idx))
+                    if verbose:
+                        print(
+                            f"\rProcessed {processed * 100.0 / (2 * n_test):05.2f}% ...",
+                            end="",
+                        )
+                for raws, filts, idx in pending:
+                    raws, filts = np.asarray(raws), np.asarray(filts)
+                    for j, i in enumerate(idx):
+                        acc.add(raws[j, : batch_b[i]], filts[j, : batch_b[i]])
+                if verbose:
+                    print()
+                return acc.metrics()
+            for i in range(nb):
+                raw_r, filt_r = _rank_batch_clustered(
+                    model, params,
+                    jnp.int32(batch_rel[i]), jnp.int32(batch_start[i]),
+                    feed["q_anchor"], feed["q_sign"], feed["q_true"],
+                    feed["q_lo"], feed["q_count"], feed["filt_vals"],
+                    distance, block_size, batch_size, kmax_all,
+                )
+                pending.append((raw_r, filt_r, batch_b[i]))
+                processed += batch_b[i]
+                if verbose:
+                    print(
+                        f"\rProcessed {processed * 100.0 / (2 * n_test):05.2f}% ...",
+                        end="",
+                    )
+            for raw_r, filt_r, b in pending:
+                acc.add(np.asarray(raw_r)[:b], np.asarray(filt_r)[:b])
+            if verbose:
+                print()
+            return acc.metrics()
+
         rel_ids_d = jnp.asarray(np.asarray(batch_rel, dtype=np.int32))
         starts_d = jnp.asarray(np.asarray(batch_start, dtype=np.int32))
 

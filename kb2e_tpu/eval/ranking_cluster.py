@@ -69,9 +69,15 @@ def _energies_by_cluster(rows, queries_c, distance):
         q_sq = jnp.sum(jnp.square(queries_c), axis=-1)  # [B, C]
         cross = jnp.einsum("bck,nk->bnc", queries_c, rows)
         return jnp.maximum(q_sq[:, None, :] + e_sq[None, :, None] - 2.0 * cross, 0.0)
-    return jnp.sum(
-        jnp.abs(rows[None, :, None, :] - queries_c[:, None, :, :]), axis=-1
-    )
+    # L1: one 3-D [B, Nb, k] sweep per cluster (C is small, default 4) —
+    # the same shape class as the main sweep's pairwise_energy, which XLA
+    # fuses to VPU speed; the single 4-D [B, Nb, C, k] broadcast-abs-reduce
+    # measured ~10× slower on TPU (poor fusion of the 4-D temp).
+    per_c = [
+        distances.pairwise_energy(rows, queries_c[:, c, :], distance)
+        for c in range(queries_c.shape[1])
+    ]
+    return jnp.stack(per_c, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("distance", "block_size"))
@@ -115,8 +121,14 @@ def rank_queries_clustered(
         rows_e = jax.lax.dynamic_slice(entity_padded, (start, 0), (block_size, k))
         u_block = jax.lax.dynamic_slice(u_all, (start, 0), (block_size, c))
         cid = _assign(u_block, v, sign, ce_sq)  # [B, Nb]
-        e_all = _energies_by_cluster(rows_p, queries_c, distance)  # [B, Nb, C]
-        en = jnp.take_along_axis(e_all, cid[:, :, None], axis=-1)[:, :, 0]
+        # Routed energy WITHOUT a per-element gather (take_along_axis over
+        # [B, Nb, C] ran ~10× slower than the sweep itself on TPU): C is
+        # small, so accumulate each cluster's [B, Nb] energy sweep under an
+        # equality mask — pure VPU elementwise work.
+        en = jnp.zeros((b, block_size), dtype=jnp.float32)
+        for ci in range(c):
+            e_c = distances.pairwise_energy(rows_p, queries_c[:, ci, :], distance)
+            en = jnp.where(cid == ci, e_c, en)
         idx_block = start + jax.lax.broadcasted_iota(jnp.int32, (1, block_size), 1)
         not_self = idx_block != true_idx[:, None]
         beats = not_self & (
