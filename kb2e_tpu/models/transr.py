@@ -51,7 +51,12 @@ class TransR(base.Model):
     # flattens epochs into chunk-sized mini-batches so the whole epoch is ONE
     # un-nested lax.scan — nesting batch_update's chunk scan inside the epoch
     # scan reproduces the axon-backend kernel fault described below.
-    chunk_size = 1024
+    # 256 is the measured throughput optimum (benchmarks/transr_chunk_sweep.py,
+    # r04: 128→746k, 256→830k, 512→690k, 1024→466k, 4096→126k triples/s —
+    # the chunk's [c,k,k] working set wants to stay cache/VMEM-resident) and
+    # is FINER sequential granularity than the former 1024, i.e. strictly
+    # closer to the reference's per-sample SGD.
+    chunk_size = 256
 
     def init_params(self, key, n_entities, n_relations, cfg: EmbeddingConfig) -> base.Params:
         k = cfg.embedding_size
