@@ -211,22 +211,28 @@ class CTransR(transr.TransR):
             wx_pos = jnp.einsum("bji,bi->bj", w, x_pos)
             wx_neg = jnp.einsum("bji,bi->bj", w, x_neg)
 
-            d_w = lr * (
-                jnp.einsum("bj,bi->bji", he - te, x_pos)
-                - jnp.einsum("bj,bi->bji", ne_h - ne_t, x_neg)
-            )
-            proj = scatter.scatter_add(proj, ri, d_w, cfg.scatter_mode)
             idx = jnp.concatenate([phi, pti, nhi, nti])
-            delta = jnp.concatenate(
-                [lr * wx_pos, -lr * wx_pos, -lr * wx_neg, lr * wx_neg]
-            )
-            ent = scatter.scatter_add(ent, idx, delta, cfg.scatter_mode)
+            # Same diagnostic ablation keys as TransR.batch_update (config.py
+            # documents 'scatter'/'norms'/'ball' for BOTH chunk-sequential
+            # fast paths) so a future axon-fault bisection of CTransR can
+            # switch off the same blocks.
+            if "scatter" not in ablate:
+                d_w = lr * (
+                    jnp.einsum("bj,bi->bji", he - te, x_pos)
+                    - jnp.einsum("bj,bi->bji", ne_h - ne_t, x_neg)
+                )
+                proj = scatter.scatter_add(proj, ri, d_w, cfg.scatter_mode)
+                delta = jnp.concatenate(
+                    [lr * wx_pos, -lr * wx_pos, -lr * wx_neg, lr * wx_neg]
+                )
+                ent = scatter.scatter_add(ent, idx, delta, cfg.scatter_mode)
 
-            # Cluster vector update + α-regulariser toward the relation mean.
-            reg = 2.0 * self.alpha * (rv - rel[ri]) * m
-            d_rc = lr * (x_pos - x_neg) - lr * reg
-            rel_c = rel_c.at[ri, ci].add(d_rc)
-            rel = rel.at[ri].add(lr * reg)
+                # Cluster vector update + α-regulariser toward the relation
+                # mean.
+                reg = 2.0 * self.alpha * (rv - rel[ri]) * m
+                d_rc = lr * (x_pos - x_neg) - lr * reg
+                rel_c = rel_c.at[ri, ci].add(d_rc)
+                rel = rel.at[ri].add(lr * reg)
 
             # Row-wise constraint projections on TOUCHED rows only — the
             # whole-table per-chunk rewrites both waste ~60 MB of traffic per
@@ -255,10 +261,13 @@ class CTransR(transr.TransR):
             def norm_rows(table, rows_idx, proj_fn):
                 return table.at[rows_idx].set(proj_fn(table[rows_idx]))
 
-            ent = norm_rows(ent, idx, projections.sphere_norm)
-            rel = norm_rows(rel, ri, projections.ball_norm)
-            rel_c = rel_c.at[ri, ci].set(projections.sphere_norm(rel_c[ri, ci]))
-            proj = norm_rows(proj, ri, projections.sphere_norm)
+            if "norms" not in ablate:
+                ent = norm_rows(ent, idx, projections.sphere_norm)
+                rel = norm_rows(rel, ri, projections.ball_norm)
+                rel_c = rel_c.at[ri, ci].set(
+                    projections.sphere_norm(rel_c[ri, ci])
+                )
+                proj = norm_rows(proj, ri, projections.sphere_norm)
 
             if "ball" not in ablate:
                 # ‖e·W‖ ≤ 1 on touched entities: ONE masked iteration of the

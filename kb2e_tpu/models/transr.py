@@ -211,6 +211,15 @@ class TransR(base.Model):
                 # scaling was tried and REJECTED: with W untouched the next
                 # sphere-norm undoes the shrink and quality collapses
                 # (caught by tests/test_transr_parity_bridge.py).
+                # APPROXIMATION, stated plainly: when a relation id repeats
+                # within a chunk, each occurrence computes w_new from its
+                # own local d_w while proj accumulates the SUM of sibling
+                # deltas — every occurrence's entity update therefore sees a
+                # W stale by its siblings' contributions, and one masked
+                # iteration does not enforce ‖aW‖ ≤ 1 exactly anyway.  The
+                # constraint holds only asymptotically (rows are revisited
+                # every epoch); the parity bridge test guards the resulting
+                # quality statistically, not the projection exactly.
                 corrupted = jnp.where(nhi != phi, nhi, nti)
                 pair_a = jnp.concatenate([phi, pti, corrupted, n_entities + ri])
                 fused = jnp.concatenate([ent, rel])

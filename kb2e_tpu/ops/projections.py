@@ -98,32 +98,13 @@ def orthogonality_project(
     return a, sphere_norm(b)
 
 
-def transr_ball_scale(a: jax.Array, w: jax.Array) -> jax.Array:
-    """Closed-form ‖a·W‖ ≤ 1 enforcement for the FAST TransR/CTransR path.
-
-    Batched: a [B, k], w [B, k, k] (layout [j, i], projection = a @ W).
-    Where ‖a·W‖ > 1, scales ``a`` by 1/‖a·W‖ so the constraint holds with
-    equality; W is left unchanged.  This replaces the reference's iterative
-    coupled descent ``transRNorm`` (transr/trainer.cpp:34-64) in fast mode
-    only — the parity path keeps :func:`transr_ball_project`'s exact loop.
-
-    Why: the iterative projector under ``vmap`` lowers to a single
-    ``while_loop`` carrying [B, k, k] (~164 MB at chunk shapes) with a
-    data-dependent trip count; on the axon TPU backend that program shape
-    has a runtime kernel fault (crashes the worker — isolated by ablation,
-    benchmarks/segment_probe.py --epoch --ablate ball; PERF.md "Axon
-    segment fault").  The closed form reaches the same constraint set
-    {‖aW‖ ≤ 1} exactly, in one matmul + mask, with no loop, and drops the
-    [B, k, k] gather/scatter of W rows from the chunk entirely.  Fast-mode
-    quality is re-validated by the planted-KG protocol (QUALITY.md) and
-    guarded in CI by tests/test_transr_parity_bridge.py.
-    """
-    proj = jnp.einsum(
-        "bj,bji->bi", a.astype(jnp.float32), w.astype(jnp.float32)
-    )
-    n2 = jnp.sum(jnp.square(proj), axis=-1, keepdims=True)
-    scale = jnp.where(n2 > 1.0, jax.lax.rsqrt(jnp.maximum(n2, 1e-30)), 1.0)
-    return (a.astype(jnp.float32) * scale).astype(a.dtype)
+# NOTE: an a-only closed-form ‖a·W‖ ≤ 1 scaling helper (transr_ball_scale)
+# used to live here.  It was tried as the fast-path projector and REJECTED:
+# with W untouched, the next sphere-norm undoes the shrink and quality
+# collapses (caught by tests/test_transr_parity_bridge.py).  The production
+# fast path uses ONE masked iteration of the reference's coupled descent,
+# inlined in models/transr.py::batch_update; the parity path uses
+# :func:`transr_ball_project` below.
 
 
 def transr_ball_project(

@@ -148,7 +148,22 @@ def batch_size_for(ts_num_triples: int, num_batches: int) -> int:
 # probe-backed insurance (re-probe: benchmarks/segment_probe.py) and for
 # very large datasets.  Env-overridable for fault triage without a code
 # change.
-SEGMENT_CHUNKS = int(os.environ.get("KB2E_SEGMENT_CHUNKS", "512"))
+DEFAULT_SEGMENT_CHUNKS = 512
+
+
+def segment_chunks() -> int:
+    """Chunks per segment launch, read from ``KB2E_SEGMENT_CHUNKS`` at CALL
+    time (not import time) so fault-triage overrides set after import still
+    take effect.  Values < 1 are rejected loudly rather than dividing by
+    zero downstream."""
+    raw = os.environ.get("KB2E_SEGMENT_CHUNKS", str(DEFAULT_SEGMENT_CHUNKS))
+    try:
+        val = int(raw)
+    except ValueError as e:
+        raise ValueError(f"KB2E_SEGMENT_CHUNKS={raw!r} is not an integer") from e
+    if val < 1:
+        raise ValueError(f"KB2E_SEGMENT_CHUNKS must be >= 1, got {val}")
+    return val
 
 
 def make_epoch_runner(
@@ -303,7 +318,7 @@ def make_epoch_runner(
         # would otherwise pad the sharded dim and silently unbalance shards.
         d = int(mesh.shape["data"])
         chunk = max(d, (chunk // d) * d)
-    seg_chunks = SEGMENT_CHUNKS
+    seg_chunks = segment_chunks()
     total = num_batches * rows
     n_chunks = -(-total // chunk)
     n_segments = -(-n_chunks // seg_chunks)

@@ -180,3 +180,19 @@ def test_bfloat16_storage_trains_and_evals(tiny_dataset):
     assert metrics["filtered_hits10"] > 0.35, metrics
     norms = np.linalg.norm(np.asarray(params["entity"], dtype=np.float32), axis=1)
     assert (norms <= 1.0 + 1e-2).all()
+
+
+def test_segment_chunks_env_read_at_call_time(monkeypatch):
+    # ADVICE r04: KB2E_SEGMENT_CHUNKS must be honored when set AFTER import
+    # and must reject values < 1 loudly instead of a downstream
+    # ZeroDivisionError.
+    monkeypatch.setenv("KB2E_SEGMENT_CHUNKS", "7")
+    assert step_lib.segment_chunks() == 7
+    monkeypatch.setenv("KB2E_SEGMENT_CHUNKS", "0")
+    with pytest.raises(ValueError, match=">= 1"):
+        step_lib.segment_chunks()
+    monkeypatch.setenv("KB2E_SEGMENT_CHUNKS", "banana")
+    with pytest.raises(ValueError, match="not an integer"):
+        step_lib.segment_chunks()
+    monkeypatch.delenv("KB2E_SEGMENT_CHUNKS")
+    assert step_lib.segment_chunks() == step_lib.DEFAULT_SEGMENT_CHUNKS
