@@ -56,13 +56,6 @@ class _FilterIndex:
             np.searchsorted(self._keys, q, side="right"),
         )
 
-    def padded(self, lo: np.ndarray, hi: np.ndarray, kmax: int) -> np.ndarray:
-        """[Q, kmax] candidate ids, −1 padded, per [lo, hi) segments."""
-        idx = lo[:, None] + np.arange(kmax)[None, :]
-        valid = idx < hi[:, None]
-        safe = np.minimum(idx, max(self._values.shape[0] - 1, 0))
-        return np.where(valid, self._values[safe], -1).astype(np.int32)
-
     @property
     def values(self) -> np.ndarray:
         """The sorted candidate array `lookup` bounds index into."""
@@ -352,16 +345,6 @@ def evaluate(
     q_lo[1::2], q_hi[1::2] = tails_of_hr.lookup(th, tr)
     q_count = q_hi - q_lo
 
-    def candidates_for(idxs: np.ndarray, kmax: int) -> np.ndarray:
-        out = np.full((idxs.shape[0], kmax), -1, dtype=np.int32)
-        even = (idxs % 2) == 0
-        if even.any():
-            out[even] = heads_of_tr.padded(q_lo[idxs[even]], q_hi[idxs[even]], kmax)
-        odd = ~even
-        if odd.any():
-            out[odd] = tails_of_hr.padded(q_lo[idxs[odd]], q_hi[idxs[odd]], kmax)
-        return out
-
     acc = EvalAccumulator()
     pending: list = []
 
@@ -378,165 +361,134 @@ def evaluate(
         group_iter = [(-1, np.arange(2 * n_test))]
 
     entity_table = params["entity"]
-    rel_table = params["relation"]
     cluster_aware = getattr(model, "cluster_aware", False)
-    # Device-resident query feed (all single-chip models): every query's
-    # data is uploaded ONCE.  Non-cluster models run the whole eval as one
-    # scan dispatch (_rank_all_scan); CTransR runs one dispatch PER BATCH
-    # off the same feed (_rank_batch_clustered) — its cluster-routed sweep
-    # inside lax.scan crashes the axon backend's TPU worker (r04, same
-    # class of runtime kernel fault as PERF.md "Axon segment fault" —
-    # suspected [B,block,C,k] L1 broadcast temp under the scan scheduler),
-    # while the per-batch program is stable.  Groups are padded to a
-    # multiple of the batch so no batch spans two relations.
-    use_device_feed = mesh is None
-    if use_device_feed:
-        heads_len = heads_of_tr.values.shape[0]
-        filt_vals_np = np.concatenate([heads_of_tr.values, tails_of_hr.values])
-        q_lo_adj = q_lo.copy()
-        q_lo_adj[1::2] += heads_len  # odd slots index the tails partition
+    # Device-resident query feed (ALL paths, single-chip and mesh): every
+    # query's data is uploaded ONCE.  Non-cluster models run the whole eval
+    # as one scan dispatch (_rank_all_scan single-chip,
+    # parallel.eval.rank_all_scan_sharded under a mesh — same architecture,
+    # entity rows sharded over ``model``); CTransR runs short scan SEGMENTS
+    # off the same feed (_rank_seg_clustered / rank_seg_clustered_sharded) —
+    # its cluster-routed sweep inside a full-length lax.scan crashes the
+    # axon backend's TPU worker (r04, same class of runtime kernel fault as
+    # PERF.md "Axon segment fault" — suspected [B,block,C,k] L1 broadcast
+    # temp under the scan scheduler), while short segments are stable.
+    # Groups are padded to a multiple of the batch so no batch spans two
+    # relations.
+    heads_len = heads_of_tr.values.shape[0]
+    filt_vals_np = np.concatenate([heads_of_tr.values, tails_of_hr.values])
+    q_lo_adj = q_lo.copy()
+    q_lo_adj[1::2] += heads_len  # odd slots index the tails partition
 
-        feed_groups = []  # (rel_id, feed_start, n_real, kmax)
-        sel_parts = []  # real-query index per feed slot (−1 = pad row)
-        pos = 0
-        for rel_id, idxs in group_iter:
-            n_real = idxs.shape[0]
-            n_slot = -(-n_real // batch_size) * batch_size
-            part = np.full(n_slot, -1, dtype=np.int64)
-            part[:n_real] = idxs
-            sel_parts.append(part)
-            kmax_g = _round_up_pow2(int(q_count[idxs].max(initial=1)))
-            feed_groups.append((rel_id, pos, n_real, kmax_g))
-            pos += n_slot
-        feed_sel = np.concatenate(sel_parts)
-        pad_mask = feed_sel < 0
-        safe_sel = np.maximum(feed_sel, 0)
+    feed_groups = []  # (rel_id, feed_start, n_real, kmax)
+    sel_parts = []  # real-query index per feed slot (−1 = pad row)
+    pos = 0
+    for rel_id, idxs in group_iter:
+        n_real = idxs.shape[0]
+        n_slot = -(-n_real // batch_size) * batch_size
+        part = np.full(n_slot, -1, dtype=np.int64)
+        part[:n_real] = idxs
+        sel_parts.append(part)
+        kmax_g = _round_up_pow2(int(q_count[idxs].max(initial=1)))
+        feed_groups.append((rel_id, pos, n_real, kmax_g))
+        pos += n_slot
+    feed_sel = np.concatenate(sel_parts)
+    pad_mask = feed_sel < 0
+    safe_sel = np.maximum(feed_sel, 0)
 
-        def feed_arr(src, fill, dtype):
-            out = src[safe_sel].astype(dtype)
-            out[pad_mask] = fill
-            return jnp.asarray(out)
+    def feed_arr(src, fill, dtype):
+        out = src[safe_sel].astype(dtype)
+        out[pad_mask] = fill
+        return jnp.asarray(out)
 
-        feed = dict(
-            q_anchor=feed_arr(q_anchor, 0, np.int32),
-            q_sign=feed_arr(q_sign, 0.0, np.float32),
-            q_rel=feed_arr(q_rel, 0, np.int32),
-            q_true=feed_arr(q_true, 0, np.int32),
-            q_lo=feed_arr(q_lo_adj, 0, np.int32),
-            q_count=feed_arr(q_count, 0, np.int32),
-            filt_vals=jnp.asarray(filt_vals_np, dtype=jnp.int32),
-        )
-    sharded_rank_fn = None
-    sharded_cluster_fn = None
+    feed = dict(
+        q_anchor=feed_arr(q_anchor, 0, np.int32),
+        q_sign=feed_arr(q_sign, 0.0, np.float32),
+        q_rel=feed_arr(q_rel, 0, np.int32),
+        q_true=feed_arr(q_true, 0, np.int32),
+        q_lo=feed_arr(q_lo_adj, 0, np.int32),
+        q_count=feed_arr(q_count, 0, np.int32),
+        filt_vals=jnp.asarray(filt_vals_np, dtype=jnp.int32),
+    )
+    # One compile for the whole eval (global kmax); per-relation groups are
+    # batch-aligned in the feed so a (relation, start) pair fully describes
+    # each batch.
+    kmax_all = _round_up_pow2(int(q_count.max(initial=1)))
+    batch_rel = []
+    batch_start = []
+    batch_b = []
+    for rel_id, feed_start, n_real, _kmax_g in feed_groups:
+        for s in range(0, n_real, batch_size):
+            batch_rel.append(rel_id)
+            batch_start.append(feed_start + s)
+            batch_b.append(min(batch_size, n_real - s))
+    processed = 0
+
     if mesh is not None:
+        # The mesh path is the SAME one-dispatch scan architecture with the
+        # entity table's row axis sharded over ``model`` (survey §5.7): each
+        # shard projects and sweeps only its rows, three small psums
+        # assemble exact anchors/energies/counts, and the query feed stays
+        # replicated.  Pre-r05 this path fell back to per-batch dispatches
+        # with eager host→device transfers (~50 ms/batch fixed cost) — the
+        # one place the multi-chip story was ~100× slower than single-chip
+        # (VERDICT r04).  Metrics are bit-identical to the local path
+        # (tests/test_parallel.py equivalence suite).
         from kb2e_tpu.parallel import eval as par_eval
 
-        model_sharding = jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec("model", None)
+        d = int(mesh.shape["model"])
+        ent_pad = ranking.pad_entities(entity_table, block_size * d)
+        ent_pad = jax.device_put(
+            ent_pad,
+            jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("model", None)
+            ),
         )
-        if cluster_aware:
-            sharded_cluster_fn = par_eval.make_sharded_cluster_rank_fn(
-                mesh, distance, block_size
-            )
-        else:
-            sharded_rank_fn = par_eval.make_sharded_rank_fn(mesh, distance, block_size)
-    if cluster_aware and not use_device_feed:
-        from kb2e_tpu.eval import ranking_cluster
+        params_sh = {**params, "entity": ent_pad}
+        n_entities = int(entity_table.shape[0])
 
-        if sharded_cluster_fn is not None:
-            entity_padded = ranking.pad_entities(
-                entity_table, block_size * mesh.shape["model"]
-            )
-            entity_padded = jax.device_put(entity_padded, model_sharding)
-        else:
-            entity_padded = ranking.pad_entities(entity_table, block_size)
-    processed = 0
-    if use_device_feed:
-        # The WHOLE eval as one dispatch: a lax.scan over every batch, each
-        # trip doing the per-relation projection (the reference's
-        # energy-cache analogue — an [N,k]·[k,k] MXU matmul recomputed per
-        # trip, ~µs where an eager per-group call costs a tunnel
-        # round-trip), the device-side candidate gather and the blockwise
-        # rank sweep.  One compile (global kmax), one launch, one result
-        # fetch — per-batch host→device transfers and dispatch round-trips,
-        # which dominated eval wall time on tunneled backends (~50 ms/batch
-        # fixed vs <1 ms device work), are gone entirely.
-        kmax_all = _round_up_pow2(int(q_count.max(initial=1)))
-        batch_rel = []
-        batch_start = []
-        batch_b = []
-        for rel_id, feed_start, n_real, _kmax_g in feed_groups:
-            for s in range(0, n_real, batch_size):
-                batch_rel.append(rel_id)
-                batch_start.append(feed_start + s)
-                batch_b.append(min(batch_size, n_real - s))
         if cluster_aware:
             import os
 
             seg = int(os.environ.get("KB2E_CLUSTER_EVAL_SEGMENT", "16"))
             nb = len(batch_rel)
-            if seg > 0:
-                # Short scan segments (full-length scans of the routed
-                # sweep crash the axon worker; see _rank_seg_clustered).
-                # The final segment is padded by repeating its last batch
-                # (results of pad slots are dropped at drain).
-                rel_np = np.asarray(batch_rel, dtype=np.int32)
-                start_np = np.asarray(batch_start, dtype=np.int32)
-                for s0 in range(0, nb, seg):
-                    idx = np.arange(s0, min(s0 + seg, nb))
-                    pad_n = seg - idx.shape[0]
-                    idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad_n)])
-                    raws, filts = _rank_seg_clustered(
-                        model, params,
-                        jnp.asarray(rel_np[idx_p]), jnp.asarray(start_np[idx_p]),
-                        feed["q_anchor"], feed["q_sign"], feed["q_true"],
-                        feed["q_lo"], feed["q_count"], feed["filt_vals"],
-                        distance, block_size, batch_size, kmax_all,
-                    )
-                    pending.append((raws, filts, idx))
-                    processed += int(sum(batch_b[i] for i in idx))
-                    if verbose:
-                        print(
-                            f"\rProcessed {processed * 100.0 / (2 * n_test):05.2f}% ...",
-                            end="",
-                        )
-                for raws, filts, idx in pending:
-                    raws, filts = np.asarray(raws), np.asarray(filts)
-                    for j, i in enumerate(idx):
-                        acc.add(raws[j, : batch_b[i]], filts[j, : batch_b[i]])
-                if verbose:
-                    print()
-                return acc.metrics()
-            for i in range(nb):
-                raw_r, filt_r = _rank_batch_clustered(
-                    model, params,
-                    jnp.int32(batch_rel[i]), jnp.int32(batch_start[i]),
+            rel_np = np.asarray(batch_rel, dtype=np.int32)
+            start_np = np.asarray(batch_start, dtype=np.int32)
+            if seg <= 0:
+                seg = nb  # one full-length launch
+            for s0 in range(0, nb, seg):
+                idx = np.arange(s0, min(s0 + seg, nb))
+                pad_n = seg - idx.shape[0]
+                idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad_n)])
+                raws, filts = par_eval.rank_seg_clustered_sharded(
+                    mesh, model, params_sh,
+                    jnp.asarray(rel_np[idx_p]), jnp.asarray(start_np[idx_p]),
                     feed["q_anchor"], feed["q_sign"], feed["q_true"],
                     feed["q_lo"], feed["q_count"], feed["filt_vals"],
-                    distance, block_size, batch_size, kmax_all,
+                    distance, block_size, batch_size, kmax_all, n_entities,
                 )
-                pending.append((raw_r, filt_r, batch_b[i]))
-                processed += batch_b[i]
+                pending.append((raws, filts, idx))
+                processed += int(sum(batch_b[i] for i in idx))
                 if verbose:
                     print(
                         f"\rProcessed {processed * 100.0 / (2 * n_test):05.2f}% ...",
                         end="",
                     )
-            for raw_r, filt_r, b in pending:
-                acc.add(np.asarray(raw_r)[:b], np.asarray(filt_r)[:b])
+            for raws, filts, idx in pending:
+                raws, filts = np.asarray(raws), np.asarray(filts)
+                for j, i in enumerate(idx):
+                    acc.add(raws[j, : batch_b[i]], filts[j, : batch_b[i]])
             if verbose:
                 print()
             return acc.metrics()
 
-        rel_ids_d = jnp.asarray(np.asarray(batch_rel, dtype=np.int32))
-        starts_d = jnp.asarray(np.asarray(batch_start, dtype=np.int32))
-
-        raws, filts = _rank_all_scan(
-            model, params, rel_ids_d, starts_d,
+        raws, filts = par_eval.rank_all_scan_sharded(
+            mesh, model, params_sh,
+            jnp.asarray(np.asarray(batch_rel, dtype=np.int32)),
+            jnp.asarray(np.asarray(batch_start, dtype=np.int32)),
             feed["q_anchor"], feed["q_sign"], feed["q_rel"],
             feed["q_true"], feed["q_lo"], feed["q_count"],
             feed["filt_vals"],
-            distance, block_size, batch_size, kmax_all, use_pallas,
+            distance, block_size, batch_size, kmax_all, n_entities,
         )
         raws, filts = np.asarray(raws), np.asarray(filts)
         for i, b in enumerate(batch_b):
@@ -546,115 +498,89 @@ def evaluate(
             print(f"\rProcessed {processed * 100.0 / (2 * n_test):05.2f}% ...")
         return acc.metrics()
 
-    for rel_id, idxs in group_iter:
-        if model.needs_projection:
-            proj = model.project_entities(params, jnp.int32(rel_id))
-        else:
-            proj = entity_table
-        if sharded_rank_fn is not None or sharded_cluster_fn is not None:
-            # Each model-axis shard must hold a whole number of blocks.
-            proj_padded = ranking.pad_entities(proj, block_size * mesh.shape["model"])
-            proj_padded = jax.device_put(proj_padded, model_sharding)
-        else:
-            proj_padded = ranking.pad_entities(proj, block_size)
+    # Single chip: the WHOLE eval as one dispatch — a lax.scan over every
+    # batch, each trip doing the per-relation projection (the reference's
+    # energy-cache analogue — an [N,k]·[k,k] MXU matmul recomputed per
+    # trip, ~µs where an eager per-group call costs a tunnel round-trip),
+    # the device-side candidate gather and the blockwise rank sweep.  One
+    # compile (global kmax), one launch, one result fetch — per-batch
+    # host→device transfers and dispatch round-trips, which dominated eval
+    # wall time on tunneled backends (~50 ms/batch fixed vs <1 ms device
+    # work), are gone entirely.
+    if cluster_aware:
+        import os
 
-        kmax_group = _round_up_pow2(int(q_count[idxs].max(initial=1)))
-
-        # Candidate lists padded ONCE per group (not per batch).
-        group_cands = candidates_for(np.asarray(idxs), kmax_group)
-
-        # One fixed batch size for all groups: padded queries cost only
-        # (parallel) compute while every distinct batch shape costs a fresh
-        # XLA compile — a bad trade wherever compiles are expensive.
-        group_batch = batch_size
-
-        for s in range(0, idxs.shape[0], group_batch):
-            sel = idxs[s : s + group_batch]
-            b = sel.shape[0]
-            pad_b = group_batch - b
-
-            anchor = np.concatenate([q_anchor[sel], np.zeros(pad_b, np.int64)])
-            sign = np.concatenate([q_sign[sel], np.zeros(pad_b, np.float32)])
-            true = np.concatenate([q_true[sel], np.zeros(pad_b, np.int64)])
-            rels = np.concatenate([q_rel[sel], np.zeros(pad_b, np.int64)])
-            cands = np.concatenate(
-                [group_cands[s : s + b], np.full((pad_b, kmax_group), -1, np.int32)]
-            )
-
-            anchor_d = jnp.asarray(anchor, dtype=jnp.int32)
-            true_d = jnp.asarray(true, dtype=jnp.int32)
-            if cluster_aware and sharded_cluster_fn is not None:
-                from kb2e_tpu.parallel import eval as par_eval
-
-                raw_r, filt_r = par_eval.sharded_rank_queries_clustered(
-                    mesh,
-                    proj_padded,
-                    entity_padded,
-                    proj_padded[anchor_d],
-                    entity_padded[anchor_d],
-                    jnp.asarray(sign),
-                    model.cluster_vectors(params, jnp.int32(rel_id)),
-                    model.cluster_centers(params, jnp.int32(rel_id)),
-                    true_d,
-                    jnp.asarray(cands),
-                    distance,
-                    block_size,
-                    rank_fn=sharded_cluster_fn,
+        seg = int(os.environ.get("KB2E_CLUSTER_EVAL_SEGMENT", "16"))
+        nb = len(batch_rel)
+        if seg > 0:
+            # Short scan segments (full-length scans of the routed
+            # sweep crash the axon worker; see _rank_seg_clustered).
+            # The final segment is padded by repeating its last batch
+            # (results of pad slots are dropped at drain).
+            rel_np = np.asarray(batch_rel, dtype=np.int32)
+            start_np = np.asarray(batch_start, dtype=np.int32)
+            for s0 in range(0, nb, seg):
+                idx = np.arange(s0, min(s0 + seg, nb))
+                pad_n = seg - idx.shape[0]
+                idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad_n)])
+                raws, filts = _rank_seg_clustered(
+                    model, params,
+                    jnp.asarray(rel_np[idx_p]), jnp.asarray(start_np[idx_p]),
+                    feed["q_anchor"], feed["q_sign"], feed["q_true"],
+                    feed["q_lo"], feed["q_count"], feed["filt_vals"],
+                    distance, block_size, batch_size, kmax_all,
                 )
-            elif cluster_aware:
-                raw_r, filt_r = ranking_cluster.rank_queries_clustered(
-                    proj_padded,
-                    entity_padded,
-                    proj_padded[anchor_d],
-                    entity_padded[anchor_d],
-                    jnp.asarray(sign),
-                    model.cluster_vectors(params, jnp.int32(rel_id)),
-                    model.cluster_centers(params, jnp.int32(rel_id)),
-                    true_d,
-                    jnp.asarray(cands),
-                    distance,
-                    block_size,
-                )
-            elif sharded_rank_fn is not None:
-                from kb2e_tpu.parallel import eval as par_eval
-
-                rels_d = jnp.asarray(rels, dtype=jnp.int32)
-                queries = proj_padded[anchor_d] + jnp.asarray(sign)[:, None] * rel_table[rels_d]
-                raw_r, filt_r = par_eval.sharded_rank_queries(
-                    mesh,
-                    proj_padded,
-                    queries,
-                    true_d,
-                    jnp.asarray(cands),
-                    distance,
-                    block_size,
-                    rank_fn=sharded_rank_fn,
-                )
-            else:
-                # Single fused dispatch: query construction + rank.
-                raw_r, filt_r = ranking.rank_anchor_queries(
-                    proj_padded,
-                    rel_table,
-                    anchor_d,
-                    jnp.asarray(sign),
-                    jnp.asarray(rels, dtype=jnp.int32),
-                    true_d,
-                    jnp.asarray(cands),
-                    distance,
-                    block_size,
-                    use_pallas=use_pallas,
-                )
-            # Don't sync per batch: keep results on device and drain at the
-            # end so dispatch latency (large over remote/tunneled links)
-            # overlaps with the next batch's compute.
-            pending.append((raw_r, filt_r, b))
-            processed += b
+                pending.append((raws, filts, idx))
+                processed += int(sum(batch_b[i] for i in idx))
+                if verbose:
+                    print(
+                        f"\rProcessed {processed * 100.0 / (2 * n_test):05.2f}% ...",
+                        end="",
+                    )
+            for raws, filts, idx in pending:
+                raws, filts = np.asarray(raws), np.asarray(filts)
+                for j, i in enumerate(idx):
+                    acc.add(raws[j, : batch_b[i]], filts[j, : batch_b[i]])
             if verbose:
-                print(f"\rProcessed {processed * 100.0 / (2 * n_test):05.2f}% ...", end="")
-    for raw_r, filt_r, b in pending:
-        acc.add(np.asarray(raw_r)[:b], np.asarray(filt_r)[:b])
+                print()
+            return acc.metrics()
+        for i in range(nb):
+            raw_r, filt_r = _rank_batch_clustered(
+                model, params,
+                jnp.int32(batch_rel[i]), jnp.int32(batch_start[i]),
+                feed["q_anchor"], feed["q_sign"], feed["q_true"],
+                feed["q_lo"], feed["q_count"], feed["filt_vals"],
+                distance, block_size, batch_size, kmax_all,
+            )
+            pending.append((raw_r, filt_r, batch_b[i]))
+            processed += batch_b[i]
+            if verbose:
+                print(
+                    f"\rProcessed {processed * 100.0 / (2 * n_test):05.2f}% ...",
+                    end="",
+                )
+        for raw_r, filt_r, b in pending:
+            acc.add(np.asarray(raw_r)[:b], np.asarray(filt_r)[:b])
+        if verbose:
+            print()
+        return acc.metrics()
+
+    rel_ids_d = jnp.asarray(np.asarray(batch_rel, dtype=np.int32))
+    starts_d = jnp.asarray(np.asarray(batch_start, dtype=np.int32))
+
+    raws, filts = _rank_all_scan(
+        model, params, rel_ids_d, starts_d,
+        feed["q_anchor"], feed["q_sign"], feed["q_rel"],
+        feed["q_true"], feed["q_lo"], feed["q_count"],
+        feed["filt_vals"],
+        distance, block_size, batch_size, kmax_all, use_pallas,
+    )
+    raws, filts = np.asarray(raws), np.asarray(filts)
+    for i, b in enumerate(batch_b):
+        acc.add(raws[i, :b], filts[i, :b])
+        processed += b
     if verbose:
-        print()
+        print(f"\rProcessed {processed * 100.0 / (2 * n_test):05.2f}% ...")
     return acc.metrics()
 
 

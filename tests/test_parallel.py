@@ -193,18 +193,19 @@ def test_harness_sharded_eval_matches_local_ctransr(tiny_dataset):
     assert local == sharded
 
 
-def test_harness_sharded_eval_matches_local(tiny_dataset):
-    """evaluate(mesh=...) must reproduce the single-device metrics."""
+@pytest.mark.parametrize("model_name", ["transe", "transh", "transr"])
+def test_harness_sharded_eval_matches_local(tiny_dataset, model_name):
+    """evaluate(mesh=...) — the r05 sharded one-dispatch scan — must
+    reproduce the single-device metrics bit-exact, for the no-projection
+    model AND both per-relation projection kinds (hyperplane, matrix)."""
     from kb2e_tpu.eval import harness
 
     cfg = EmbeddingConfig(embedding_size=16, eval_block_size=8, eval_batch_size=64,
                           eval_impl="xla")
-    rng = np.random.default_rng(2)
-    params = {
-        "entity": jnp.asarray(rng.normal(size=(tiny_dataset.n_entities, 16)).astype(np.float32)),
-        "relation": jnp.asarray(rng.normal(size=(tiny_dataset.n_relations, 16)).astype(np.float32)),
-    }
-    model = get_model("transe")
+    model = get_model(model_name)
+    params = model.init_params(
+        jax.random.PRNGKey(5), tiny_dataset.n_entities, tiny_dataset.n_relations, cfg
+    )
     local = harness.evaluate(model, params, tiny_dataset, cfg)
     mesh = mesh_lib.make_mesh(2, 4)
     sharded = harness.evaluate(model, params, tiny_dataset, cfg, mesh=mesh)
