@@ -281,12 +281,98 @@ def run_epoch_child(trips: int, model_name: str, n_train: int,
     stage(f"E_all_{n_segments}_segments", t0)
 
 
+def run_eval_child(trips: int, model_name: str, n_train: int,
+                   test_frac: float = 0.05, warm_iters: int = 1) -> None:
+    """Eval-side probe (VERDICT r04 item 3): run the CTransR cluster-routed
+    eval with ``KB2E_CLUSTER_EVAL_SEGMENT=trips`` and report ok/crash plus
+    first-call and warm wall time — one child per (trips, trial) so a
+    worker crash kills the child, not the probe.  Doubles as the segment-
+    length SWEEP harness: the parent's per-trips records ARE the tuning
+    curve (ms/batch vs segment length).
+
+    trips = batches per scan segment (0 = one dispatch per batch; the
+    r04 default was 16, never tuned).  Non-cluster models accepted too
+    (their scan ignores the segment env) for cross-checking.
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from kb2e_tpu.config import EmbeddingConfig
+    from kb2e_tpu.constants import Distance, Method
+    from kb2e_tpu.data.synthetic import random_kg
+    from kb2e_tpu.data.triples import Dataset, TripleSet
+    from kb2e_tpu.eval import harness
+    from kb2e_tpu.models import get_model
+
+    _os.environ["KB2E_CLUSTER_EVAL_SEGMENT"] = str(trips)
+
+    model = get_model(model_name)
+    cfg = EmbeddingConfig(
+        embedding_size=EMBEDDING_SIZE, distance=Distance.L1, seed=42,
+        eval_block_size=1024, eval_batch_size=256,
+    )
+    h, t, r = random_kg(N_ENTITIES, N_RELATIONS, n_train, seed=1)
+    n_test = int(n_train * test_frac)
+    ts = TripleSet.from_arrays(
+        h[n_test:], t[n_test:], r[n_test:],
+        n_entities=N_ENTITIES, n_relations=N_RELATIONS,
+    )
+    ds = Dataset(
+        entity2id={str(i): i for i in range(N_ENTITIES)},
+        relation2id={str(i): i for i in range(N_RELATIONS)},
+        train=ts, valid=None, test=(h[:n_test], t[:n_test], r[:n_test]),
+    )
+    key = jax.random.PRNGKey(0)
+    params = model.init_params(key, N_ENTITIES, N_RELATIONS, cfg)
+    if getattr(model, "cluster_aware", False):
+        rng = np.random.default_rng(0)
+        centers = rng.normal(size=(N_RELATIONS, model.n_clusters, EMBEDDING_SIZE))
+        centers /= np.linalg.norm(centers, axis=-1, keepdims=True) + 1e-9
+        params = model.with_centers(params, jnp.asarray(centers, jnp.float32))
+
+    t0 = time.perf_counter()
+    m = harness.evaluate(model, params, ds, cfg)
+    first_s = time.perf_counter() - t0
+    queries = int(m["num_corruptions"])
+
+    warm_s = None
+    for it in range(warm_iters):
+        # Perturb params so the tunnel cannot serve a memoized result.
+        params = {
+            k: (v + 1e-6 if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating) else v)
+            for k, v in params.items()
+        }
+        t0 = time.perf_counter()
+        harness.evaluate(model, params, ds, cfg)
+        warm_s = time.perf_counter() - t0
+    n_batches = -(-queries // cfg.eval_batch_size)
+    print(json.dumps({
+        "trips": trips, "ok": True, "mode": "eval",
+        "first_s": round(first_s, 1),
+        "warm_s": round(warm_s, 2) if warm_s is not None else None,
+        "queries": queries,
+        "ms_per_batch": (
+            round(warm_s * 1e3 / n_batches, 2) if warm_s is not None else None
+        ),
+        "warm_queries_per_s": (
+            round(queries / warm_s, 1) if warm_s else None
+        ),
+    }), flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--epoch", action="store_true",
                     help="child runs the stage-wise epoch pipeline instead "
                          "of one flat-scan launch")
+    ap.add_argument("--eval", action="store_true",
+                    help="probe the EVAL-side cluster-routed scan: trips = "
+                         "KB2E_CLUSTER_EVAL_SEGMENT batches per segment; "
+                         "also the segment-length tuning sweep")
+    ap.add_argument("--test-frac", type=float, default=0.05)
     ap.add_argument("--trips", default=DEFAULT_LADDER)
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--model", default="transr")
@@ -314,6 +400,10 @@ def main() -> None:
                             synthetic=args.structured,
                             host_slices=args.host_slices,
                             ablate=args.ablate)
+        elif args.eval:
+            run_eval_child(int(args.trips), args.model, args.n_train,
+                           test_frac=args.test_frac,
+                           warm_iters=max(args.iters - 1, 1))
         else:
             run_child(int(args.trips), args.model, structured=args.structured,
                       scatter_mode=args.scatter_mode, iters=args.iters)
@@ -323,9 +413,14 @@ def main() -> None:
     results = []
     for trips in ladder:
         for trial in range(args.trials):
+            cmd = [_sys.executable, _os.path.abspath(__file__), "--child",
+                   "--trips", str(trips), "--model", args.model]
+            if args.eval:
+                cmd += ["--eval", "--test-frac", str(args.test_frac),
+                        "--n-train", str(args.n_train),
+                        "--iters", str(args.iters)]
             proc = subprocess.run(
-                [_sys.executable, _os.path.abspath(__file__), "--child",
-                 "--trips", str(trips), "--model", args.model],
+                cmd,
                 capture_output=True, text=True, timeout=args.timeout,
                 cwd=_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
             )

@@ -62,22 +62,43 @@ def routed_energy(
     return distances.residual_energy(rows_p - q, distance)
 
 
-def _energies_by_cluster(rows, queries_c, distance):
-    """rows [Nb,k], queries_c [B,C,k] -> [B, Nb, C] energies."""
-    if distance == Distance.L2:
-        e_sq = jnp.sum(jnp.square(rows), axis=-1)  # [Nb]
-        q_sq = jnp.sum(jnp.square(queries_c), axis=-1)  # [B, C]
-        cross = jnp.einsum("bck,nk->bnc", queries_c, rows)
-        return jnp.maximum(q_sq[:, None, :] + e_sq[None, :, None] - 2.0 * cross, 0.0)
-    # L1: one 3-D [B, Nb, k] sweep per cluster (C is small, default 4) —
-    # the same shape class as the main sweep's pairwise_energy, which XLA
-    # fuses to VPU speed; the single 4-D [B, Nb, C, k] broadcast-abs-reduce
-    # measured ~10× slower on TPU (poor fusion of the 4-D temp).
-    per_c = [
-        distances.pairwise_energy(rows, queries_c[:, c, :], distance)
-        for c in range(queries_c.shape[1])
-    ]
-    return jnp.stack(per_c, axis=-1)
+def routed_block_energy(rows_p, queries_c, cid, distance):
+    """[B, Nb] routed energies for one candidate block: each (query,
+    candidate) pair scores against its assigned cluster's query vector.
+
+    L1 (the hot path): ONE fused sweep — the routed query vector is selected
+    per element (C−1 ``where``s over [B, Nb, k]) and a single abs-diff
+    reduce follows.  This replaces the r04 masked accumulate of C full
+    per-cluster sweeps (~3·C elementwise ops/element) with ~(C+2)
+    ops/element — measured ~2× less VPU work at C=4, and one pass over the
+    broadcast temp instead of C.  Selecting q before the reduce is
+    bit-identical to selecting the per-cluster energies after it (same row
+    and query values, same k-reduction order).
+
+    L2 rides the MXU: per-cluster matmul-expansion sweeps stay cheap, so
+    keep the masked accumulate over C energy matrices (a per-element gather
+    via take_along_axis measured ~10× slower than the sweep on TPU).
+
+    Shared by the local (rank_queries_clustered), segmented
+    (eval/harness.py::_rank_seg_clustered) and sharded
+    (parallel/eval.py) sweeps so routing semantics cannot drift.
+    """
+    c = queries_c.shape[1]
+    if distance == Distance.L1:
+        qsel = jnp.broadcast_to(
+            queries_c[:, 0, None, :],
+            (queries_c.shape[0], cid.shape[1], queries_c.shape[2]),
+        )
+        for ci in range(1, c):
+            qsel = jnp.where(
+                (cid == ci)[:, :, None], queries_c[:, ci, None, :], qsel
+            )
+        return jnp.sum(jnp.abs(rows_p[None, :, :] - qsel), axis=-1)
+    en = distances.pairwise_energy(rows_p, queries_c[:, 0, :], distance)
+    for ci in range(1, c):
+        e_c = distances.pairwise_energy(rows_p, queries_c[:, ci, :], distance)
+        en = jnp.where(cid == ci, e_c, en)
+    return en
 
 
 @functools.partial(jax.jit, static_argnames=("distance", "block_size"))
@@ -121,14 +142,7 @@ def rank_queries_clustered(
         rows_e = jax.lax.dynamic_slice(entity_padded, (start, 0), (block_size, k))
         u_block = jax.lax.dynamic_slice(u_all, (start, 0), (block_size, c))
         cid = _assign(u_block, v, sign, ce_sq)  # [B, Nb]
-        # Routed energy WITHOUT a per-element gather (take_along_axis over
-        # [B, Nb, C] ran ~10× slower than the sweep itself on TPU): C is
-        # small, so accumulate each cluster's [B, Nb] energy sweep under an
-        # equality mask — pure VPU elementwise work.
-        en = jnp.zeros((b, block_size), dtype=jnp.float32)
-        for ci in range(c):
-            e_c = distances.pairwise_energy(rows_p, queries_c[:, ci, :], distance)
-            en = jnp.where(cid == ci, e_c, en)
+        en = routed_block_energy(rows_p, queries_c, cid, distance)
         idx_block = start + jax.lax.broadcasted_iota(jnp.int32, (1, block_size), 1)
         not_self = idx_block != true_idx[:, None]
         beats = not_self & (

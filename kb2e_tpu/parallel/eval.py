@@ -292,8 +292,7 @@ def rank_seg_clustered_sharded(
                 )
                 u_block = rows_e @ centers.T  # [Nb, C]
                 cid = rc._assign(u_block, v, sign, ce_sq)  # [B, Nb]
-                e_all = rc._energies_by_cluster(rows_p, queries_c, distance)
-                en = jnp.take_along_axis(e_all, cid[:, :, None], axis=-1)[:, :, 0]
+                en = rc.routed_block_energy(rows_p, queries_c, cid, distance)
                 idx_block = row0 + start_b + jax.lax.broadcasted_iota(
                     jnp.int32, (1, block_size), 1
                 )
@@ -409,8 +408,7 @@ def make_sharded_cluster_rank_fn(mesh: Mesh, distance: Distance, block_size: int
             rows_e = jax.lax.dynamic_slice(ent_local, (start, 0), (block_size, k))
             u_block = rows_e @ centers.T  # [Nb, C]
             cid = rc._assign(u_block, v, sign, ce_sq)  # [B, Nb]
-            e_all = rc._energies_by_cluster(rows_p, queries_c, distance)
-            en = jnp.take_along_axis(e_all, cid[:, :, None], axis=-1)[:, :, 0]
+            en = rc.routed_block_energy(rows_p, queries_c, cid, distance)
             idx_block = row0 + start + jax.lax.broadcasted_iota(
                 jnp.int32, (1, block_size), 1
             )
