@@ -26,9 +26,13 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os as _os
+import sys as _sys
 import time
 
 import numpy as np
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 N_ENTITIES = 14_951
 N_RELATIONS = 1_345

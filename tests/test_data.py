@@ -106,3 +106,54 @@ def test_skewed_kg_statistics():
     assert pr.min() < 0.35 and pr.max() > 0.65
     assert (tph > 1.5).any() and (hpt > 1.5).any()
     assert ((tph <= 1.5) & (hpt <= 1.5)).any()  # some 1-1 relations
+
+
+def test_compositional_kg_stats():
+    """CI pin for the planted-composition generator (VERDICT r04 item 4):
+    held-out composed triples must have 2-hop witnesses in train, composed
+    relations must be direct-evidence-sparse in train, and PCRA extraction
+    over the train graph must find the planted (a, b) path."""
+    kg = synthetic.compositional_kg(
+        n_entities=800, n_base_relations=6, n_composed=4,
+        n_chains=1500, n_extra_base=1500, seed=0,
+    )
+    B = kg.n_base_relations
+    th, tt, tr = kg.train
+    assert tr.max() < kg.n_relations
+
+    # Base edges all in train; composed triples sparse in train (~direct_frac).
+    comp_train = (tr >= B).sum()
+    n_comp_total = comp_train + kg.valid[0].shape[0] + kg.test[0].shape[0]
+    assert 0.05 <= comp_train / n_comp_total <= 0.15
+
+    # Every held-out composed triple has a 2-hop witness (h -a-> m -b-> t).
+    edges = {}
+    for h, t, r in zip(th.tolist(), tt.tolist(), tr.tolist()):
+        if r < B:
+            edges.setdefault((h, r), set()).add(t)
+    for h, t, r in zip(*(x.tolist() for x in kg.test)):
+        a, b = kg.comp_pairs[r - B]
+        mids = edges.get((h, int(a)), set())
+        assert any(t in edges.get((m, int(b)), ()) for m in mids), (h, t, r)
+
+    # PCRA over the train graph finds the planted path for the test pairs.
+    from kb2e_tpu.data import paths as paths_lib
+
+    eh, et, er = kg.test
+    store = paths_lib.build_path_store(
+        th, tt, tr, kg.n_relations, query_pairs=(eh[:200], et[:200]),
+        use_native=False,
+    )
+    assert store.coverage() >= 0.95
+    # The planted (a, b) forward-relation path appears among the extracted
+    # paths for most queries.
+    # In denser graphs higher-conf noise paths crowd the planted one out of
+    # the top-8 slots (measured: 300 entities -> 0.52 hit, 800 -> 0.82);
+    # the experiment harness uses max_paths=16 for the same reason.
+    hit = 0
+    for i in range(min(200, eh.shape[0])):
+        a, b = kg.comp_pairs[er[i] - B]
+        row = store.rels[i]  # [P, L]
+        if any((p[0] == a and p[1] == b) for p in row.tolist()):
+            hit += 1
+    assert hit / min(200, eh.shape[0]) >= 0.75
