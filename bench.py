@@ -42,6 +42,14 @@ def main() -> None:
 
     runtime.enable_compilation_cache()
 
+    # Backend-drift canary: 2-launch chunk-pipeline smoke in a subprocess
+    # before measuring (the axon fault profile provably drifts across
+    # backend updates — PERF.md "Axon segment fault"); its result is
+    # annotated into the headline JSON line.  KB2E_SKIP_CANARY=1 skips.
+    from benchmarks.segment_probe import run_canary_smoke
+
+    canary = run_canary_smoke()
+
     from kb2e_tpu.config import EmbeddingConfig
     from kb2e_tpu.constants import Distance, Method
     from kb2e_tpu.data.synthetic import random_kg
@@ -92,6 +100,7 @@ def main() -> None:
                 "value": round(triples_per_s, 1),
                 "unit": "triples/s/chip",
                 "vs_baseline": round(triples_per_s / REFERENCE_CPU_TRIPLES_PER_S, 2),
+                "canary_ok": canary.get("ok"),
             }
         )
     )

@@ -163,6 +163,14 @@ def main() -> None:
 
     runtime.enable_compilation_cache()
 
+    # Backend-drift canary: 2-launch chunk-pipeline smoke in a subprocess,
+    # annotated into every record (the axon fault profile provably drifts
+    # across backend updates — PERF.md "Axon segment fault").
+    from benchmarks.segment_probe import run_canary_smoke
+
+    canary = run_canary_smoke()
+    print(json.dumps({"canary": canary}), flush=True)
+
     baselines = dict(REFERENCE_TRIPLES_PER_S)
     if args.baselines_json:
         with open(args.baselines_json) as f:
@@ -172,6 +180,7 @@ def main() -> None:
     for name in args.models.split(","):
         rec = bench_model(name.strip(), args.epochs, args.scale, baselines,
                           negatives=args.negatives)
+        rec["canary_ok"] = canary.get("ok")
         print(json.dumps(rec), flush=True)
 
 

@@ -8,13 +8,17 @@ planted WITH 2-hop entity support, composed facts mostly held out so their
 direct embeddings are under-trained — generator stats CI-pinned in
 tests/test_data.py),
 
-    composition ∈ {add, mul, rnn}  ×  path evidence ∈ {on, off}
+    baseline (no path machinery)
+    per composition ∈ {add, mul, rnn}:
+        evidence-only  (path_weight 0 at training, PCRA evidence at eval)
+        full recipe    (path loss at training + evidence at eval)
 
-where "off" = path_weight 0 at training AND no path store at eval — the
-full ablation of the paper's mechanism.  Reports filtered MR / Hits@10 for
-BOTH tasks: entity link prediction on the held-out composed triples and
-relation prediction (the task PTransE's evidence term was built for,
-eval/harness.py::evaluate_relation_prediction).
+decoupling the paper's two mechanisms: the EVAL evidence term
+Σ conf·‖comp(p) − r'‖₁ and the TRAINING path margin loss.  Reports
+filtered MR / Hits@10 for BOTH tasks — entity link prediction on the
+held-out composed triples and relation prediction (the task the evidence
+term was built for, eval/harness.py::evaluate_relation_prediction) — plus
+the mechanism diagnostic ‖r_a + r_b − r_c‖₁ vs random relations.
 
 CPU-runnable (small KG); ~2 min per cell.  Writes PTRANSE_COMP_r05.json.
 Reference anchor: README.md:26-29 (PTransE rows, code absent — survey §0.1).
@@ -86,43 +90,80 @@ def main() -> None:
     )
     extract_s = time.time() - t0
 
+    def comp_alignment(params):
+        """Mean ‖r_a + r_b − r_c‖₁ over the planted pairs vs random relations
+        — the mechanism diagnostic (ADD geometry)."""
+        rel = np.asarray(params["relation"])
+        B = kg.n_base_relations
+        rng = np.random.default_rng(0)
+        gold = [
+            float(np.abs(rel[a] + rel[b] - rel[B + ci]).sum())
+            for ci, (a, b) in enumerate(kg.comp_pairs)
+        ]
+        rand = [
+            float(np.abs(rel[a] + rel[b] - rel[o]).sum())
+            for ci, (a, b) in enumerate(kg.comp_pairs)
+            for o in rng.integers(0, kg.n_relations, 5)
+            if o != B + ci
+        ]
+        return round(float(np.mean(gold)), 3), round(float(np.mean(rand)), 3)
+
     results = []
-    for comp in args.compositions.split(","):
-        for with_paths in (True, False):
+
+    def run_cell(comp, path_weight, eval_evidence, params_cache={}):
+        # Training depends only on (path_weight, comp-if-weighted): pw=0
+        # zeroes the path loss AND its gradients (the clean ablation on the
+        # same data pipeline — batch_update always reads the path arrays),
+        # so the pw=0 model is shared across compositions.
+        # rnn needs its comp_w table in params even at pw=0 (it stays at
+        # init — the honest "untrained composition" for the evidence-only
+        # cell); add/mul share one pw=0 model.
+        tkey = (path_weight, comp if (path_weight or comp == "rnn") else "-")
+        if tkey not in params_cache:
             cfg = EmbeddingConfig(
                 embedding_size=args.size, learning_rate=0.01, margin=1.0,
                 method=Method.BERN, num_batches=20, max_epochs=args.epochs,
                 distance=Distance.L1, seed=11,
                 eval_block_size=256, eval_batch_size=256,
-                path_composition=comp,
-                path_weight=1.0 if with_paths else 0.0,
+                path_composition=comp, path_weight=path_weight,
             )
             t0 = time.time()
-            # The path store is wired either way (batch_update always reads
-            # the path arrays); path_weight=0 zeroes the path loss AND its
-            # gradients, so "off" trains pure TransE semantics on the same
-            # data pipeline — the clean ablation.
             params = train_loop.train(
-                model, cfg, ts, verbose=False, path_store=train_store,
+                model, cfg, ts, verbose=False, path_store=train_store
             )
-            train_s = time.time() - t0
-            ent = harness.evaluate(model, params, ds, cfg)
-            relp = harness.evaluate_relation_prediction(
-                model, params, ds, cfg,
-                path_store=eval_store if with_paths else None,
-            )
-            rec = {
-                "composition": comp,
-                "path_evidence": with_paths,
-                "entity_filtered_mr": round(ent["filtered_mean_rank"], 2),
-                "entity_filtered_hits10": round(ent["filtered_hits10"], 4),
-                "relation_filtered_mr": round(relp["filtered_mean_rank"], 2),
-                "relation_filtered_hits10": round(relp["filtered_hits10"], 4),
-                "relation_filtered_hits1": round(relp["filtered_hits1"], 4),
-                "train_s": round(train_s, 1),
-            }
-            results.append(rec)
-            print(json.dumps(rec), flush=True)
+            params_cache[tkey] = (cfg, params, round(time.time() - t0, 1))
+        cfg, params, train_s = params_cache[tkey]
+        cfg = dataclasses.replace(cfg, path_composition=comp)
+        ent = harness.evaluate(model, params, ds, cfg)
+        relp = harness.evaluate_relation_prediction(
+            model, params, ds, cfg,
+            path_store=eval_store if eval_evidence else None,
+        )
+        gold, rand = comp_alignment(params)
+        rec = {
+            "composition": comp,
+            "train_path_weight": path_weight,
+            "eval_path_evidence": eval_evidence,
+            "entity_filtered_mr": round(ent["filtered_mean_rank"], 2),
+            "entity_filtered_hits10": round(ent["filtered_hits10"], 4),
+            "relation_filtered_mr": round(relp["filtered_mean_rank"], 2),
+            "relation_filtered_hits10": round(relp["filtered_hits10"], 4),
+            "relation_filtered_hits1": round(relp["filtered_hits1"], 4),
+            "align_comp_to_gold_l1": gold,
+            "align_comp_to_random_l1": rand,
+            "train_s": train_s,
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    comps = args.compositions.split(",")
+    # Baseline: no path machinery anywhere (composition irrelevant).
+    run_cell(comps[0], 0.0, False)
+    for comp in comps:
+        # The paper's evidence mechanism on clean embeddings …
+        run_cell(comp, 0.0, True)
+        # … and the full recipe (path loss + evidence).
+        run_cell(comp, 1.0, True)
 
     artifact = {
         "date": time.strftime("%Y-%m-%d"),

@@ -362,6 +362,41 @@ def run_eval_child(trips: int, model_name: str, n_train: int,
     }), flush=True)
 
 
+def run_canary_smoke(trips: int = 2, model: str = "transr",
+                     timeout: int = 900) -> dict:
+    """Backend-drift canary (VERDICT r04 item 7a): a 2-launch probe of the
+    chunk-sequential pipeline in a SUBPROCESS (a worker crash kills the
+    child, not the caller).  Benchmarks run this before measuring and
+    annotate their artifact with the result, so a drifted fault profile is
+    attributed by the canary instead of killing an at-scale run unexplained.
+    Skippable via KB2E_SKIP_CANARY=1.
+    """
+    if _os.environ.get("KB2E_SKIP_CANARY") == "1":
+        return {"ok": None, "skipped": True}
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            [_sys.executable, _os.path.abspath(__file__), "--child",
+             "--trips", str(trips), "--model", model],
+            capture_output=True, text=True, timeout=timeout,
+            cwd=_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        )
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "trips": trips, "model": model,
+                "error": f"timeout after {timeout}s"}
+    rec = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("{"):
+            rec = json.loads(line)
+    if rec is None or not rec.get("ok"):
+        return {"ok": False, "trips": trips, "model": model,
+                "returncode": proc.returncode,
+                "tail": (proc.stderr or proc.stdout)[-300:]}
+    return {"ok": True, "trips": trips, "model": model,
+            "exec_ms": rec.get("exec_ms"),
+            "wall_s": round(time.perf_counter() - t0, 1)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--child", action="store_true")

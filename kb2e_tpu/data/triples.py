@@ -139,6 +139,7 @@ class TripleSet:
     # Fast-path membership index (kb2e_tpu/sampling/cuckoo.py); None when
     # h*R + r overflows int32 and the binary-search fallback is used.
     cuckoo_table: "np.ndarray | None" = None  # int32 [2*M, 2]
+    cuckoo_fp: "np.ndarray | None" = None  # int32 [2*M] fingerprints (fast probe)
     cuckoo_m: int = 0
     cuckoo_salt: int = 0
 
@@ -184,12 +185,13 @@ class TripleSet:
 
         pr = bern_tail_probability(heads, tails, rels, n_relations)
 
-        cuckoo_table, cuckoo_m, cuckoo_salt = None, 0, 0
+        cuckoo_table, cuckoo_fp, cuckoo_m, cuckoo_salt = None, None, 0, 0
         try:
             from kb2e_tpu.sampling import cuckoo as cuckoo_lib
 
             idx = cuckoo_lib.build(sh, sr, st, n_relations)
-            cuckoo_table, cuckoo_m, cuckoo_salt = idx.table, idx.m, idx.salt
+            cuckoo_table, cuckoo_fp = idx.table, idx.fp
+            cuckoo_m, cuckoo_salt = idx.m, idx.salt
         except OverflowError:
             pass  # binary-search fallback for graphs with N*R >= 2^31
 
@@ -204,6 +206,7 @@ class TripleSet:
             sorted_r=sr,
             sorted_t=st,
             cuckoo_table=cuckoo_table,
+            cuckoo_fp=cuckoo_fp,
             cuckoo_m=cuckoo_m,
             cuckoo_salt=cuckoo_salt,
         )

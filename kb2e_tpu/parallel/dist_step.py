@@ -65,6 +65,7 @@ def make_distributed_train_step(
             method=method,
             resample_rounds=cfg.corruption_resample_rounds,
             cuckoo_table=data.cuckoo_table,
+            cuckoo_fp=data.cuckoo_fp,
             cuckoo_m=data.cuckoo_m,
             cuckoo_salt=data.cuckoo_salt,
             n_relations=data.n_relations,

@@ -49,6 +49,7 @@ def sample_batch(
     cuckoo_table: Optional[jax.Array] = None,  # [2*M, 2] fast-path index
     cuckoo_m: int = 0,
     cuckoo_salt: int = 0,
+    cuckoo_fp: Optional[jax.Array] = None,  # [2*M] fingerprint fast probe
     n_relations: int = 0,
     return_idx: bool = False,
     num_negatives: int = 1,
@@ -91,7 +92,14 @@ def sample_batch(
     qt = jnp.where(ct, cands, pt[:, None, None])
     qr = jnp.broadcast_to(r[:, None, None], cands.shape)
 
-    if cuckoo_table is not None:
+    if cuckoo_fp is not None:
+        # Fingerprint probe: 2 random gathers/query instead of 4 — the
+        # membership sweep is the sampler's dominant cost (see
+        # cuckoo.contains_fp for the exactness argument).
+        bad = cuckoo.contains_fp(
+            cuckoo_fp, cuckoo_m, cuckoo_salt, n_relations, qh, qr, qt
+        )
+    elif cuckoo_table is not None:
         bad = cuckoo.contains(
             cuckoo_table, cuckoo_m, cuckoo_salt, n_relations, qh, qr, qt
         )
@@ -135,6 +143,7 @@ def sample_relation_negatives(
     cuckoo_table: Optional[jax.Array] = None,
     cuckoo_m: int = 0,
     cuckoo_salt: int = 0,
+    cuckoo_fp: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Corrupted RELATIONS for PTransE's path loss (paper eq. 8: replace r
     with r' such that (h, r', t) is false).
@@ -150,7 +159,11 @@ def sample_relation_negatives(
     )
     qh = jnp.broadcast_to(ph[:, None], (batch_size, n_cands))
     qt = jnp.broadcast_to(pt[:, None], (batch_size, n_cands))
-    if cuckoo_table is not None:
+    if cuckoo_fp is not None:
+        bad = cuckoo.contains_fp(
+            cuckoo_fp, cuckoo_m, cuckoo_salt, n_relations, qh, cands, qt
+        )
+    elif cuckoo_table is not None:
         bad = cuckoo.contains(
             cuckoo_table, cuckoo_m, cuckoo_salt, n_relations, qh, cands, qt
         )

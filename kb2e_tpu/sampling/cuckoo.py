@@ -29,6 +29,11 @@ _EMPTY = -1
 # Distinct odd multipliers per table (Knuth-style multiplicative hashing).
 _MULTS_G = (0x9E3779B1, 0x85EBCA77)
 _MULTS_T = (0xC2B2AE3D, 0x27D4EB2F)
+# Third multiplier pair for the 32-bit fingerprint (independent of the slot
+# hashes so slot and fingerprint collisions are uncorrelated).
+_FP_MULT_G = 0x165667B1
+_FP_MULT_T = 0xD3A2646D
+_FP_EMPTY = 0  # sentinel; computed fingerprints avoid it (0 -> 1)
 
 
 def _hash(g: np.ndarray, t: np.ndarray, salt: int, table: int, m: int):
@@ -42,6 +47,28 @@ def _hash(g: np.ndarray, t: np.ndarray, salt: int, table: int, m: int):
     h *= np.uint32(0x2C1B3C6D)
     h ^= h >> np.uint32(12)
     return (h % np.uint32(m)).astype(np.int32)
+
+
+def _fingerprint(xp, g, t, salt: int):
+    """32-bit key fingerprint, identical in NumPy and jnp (uint32 wraparound).
+
+    Stored per slot so membership needs ONE int32 gather per probe instead
+    of two (key + value) — the sampler's membership test is random-gather
+    transaction-bound, so this halves its cost.  The sentinel 0 marks empty
+    slots; real fingerprints map 0 -> 1 (doubles 1's probability — harmless).
+    """
+    u32 = (np.uint32 if xp is np else jnp.uint32)
+    h = (
+        g.astype(u32) * u32(_FP_MULT_G)
+        + t.astype(u32) * u32(_FP_MULT_T)
+        + u32(salt ^ 0x5BF03635)
+    )
+    h ^= h >> u32(16)
+    h *= u32(0x7FEB352D)
+    h ^= h >> u32(15)
+    return xp.where(h == u32(_FP_EMPTY), u32(1), h).astype(
+        np.int32 if xp is np else jnp.int32
+    )
 
 
 def _hash_jnp(g: jax.Array, t: jax.Array, salt: int, table: int, m: int) -> jax.Array:
@@ -59,6 +86,7 @@ def _hash_jnp(g: jax.Array, t: jax.Array, salt: int, table: int, m: int) -> jax.
 @dataclasses.dataclass
 class CuckooIndex:
     table: np.ndarray  # int32 [2*M, 2] rows of (g, t); -1 = empty
+    fp: np.ndarray  # int32 [2*M] fingerprint per slot; 0 = empty
     m: int
     salt: int
     n_relations: int  # for g = h*R + r packing
@@ -125,7 +153,14 @@ def build(
             filled = occupant != _EMPTY
             table[filled, 0] = g_all[occupant[filled]]
             table[filled, 1] = t_all[occupant[filled]]
-            return CuckooIndex(table=table, m=m, salt=salt, n_relations=n_relations)
+            fp = np.full(2 * m, _FP_EMPTY, dtype=np.int32)
+            with np.errstate(over="ignore"):
+                fp[filled] = _fingerprint(
+                    np, g_all[occupant[filled]], t_all[occupant[filled]], salt
+                )
+            return CuckooIndex(
+                table=table, fp=fp, m=m, salt=salt, n_relations=n_relations
+            )
         if attempt % 4 == 3:
             m *= 2  # rare: grow and retry
     raise RuntimeError("cuckoo build failed after 16 attempts")
@@ -156,3 +191,30 @@ def contains(
     hit0 = (keys[s0] == g) & (vals[s0] == qt)
     hit1 = (keys[s1] == g) & (vals[s1] == qt)
     return hit0 | hit1
+
+
+def contains_fp(
+    fp_table: jax.Array,  # int32 [2*M] per-slot fingerprints; 0 = empty
+    m: int,
+    salt: int,
+    n_relations: int,
+    qh: jax.Array,
+    qr: jax.Array,
+    qt: jax.Array,
+) -> jax.Array:
+    """Fingerprint membership: 2 random gathers per query instead of 4.
+
+    The sampler's membership sweep is random-gather transaction-bound (the
+    dominant cost of epoch presampling — ~13 ms per resample round at FB15k
+    scale, benchmarks r05), so halving the gathers halves it.  Exactness:
+    members ALWAYS match their own fingerprint, so no certified negative is
+    ever a known triple (the certification the sampler needs).  A
+    fingerprint collision (P ≈ 2·2⁻³² per probe) falsely rejects a true
+    negative — it falls to the next resample round, a vanishing
+    distribution nudge, not a correctness loss.
+    """
+    g = qh * n_relations + qr
+    s0 = _hash_jnp(g, qt, salt, 0, m)
+    s1 = _hash_jnp(g, qt, salt, 1, m) + m
+    f = _fingerprint(jnp, g, qt, salt)
+    return (fp_table[s0] == f) | (fp_table[s1] == f)

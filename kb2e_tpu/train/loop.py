@@ -121,18 +121,61 @@ def train(
     logger = log_lib.MetricsLogger(metrics_fn)
     total_samples = batch_size * cfg.num_batches
 
+    # Backend-drift canary (VERDICT r04 item 7, chunk-sequential models
+    # only): the axon backend's runtime kernel-fault SET drifts across
+    # backend updates (r03's safe segment length crashed one day later —
+    # PERF.md "Axon segment fault"), so at-scale runs should degrade, not
+    # die.  Each epoch's start params are retained; if the epoch launch (or
+    # its loss fetch — the sync point) raises, the runner is rebuilt ONCE at
+    # segment length /8 and the SAME epoch retried from the retained params
+    # before the failure surfaces.  On the real backend a worker crash
+    # usually kills the process's TPU client too, in which case the retry
+    # re-raises — the canary then still turned a silent mid-run death into a
+    # loud, attributed failure.  Kill-switch: KB2E_EPOCH_RETRY=0.
+    import os
+
+    retry_enabled = (
+        fused_epoch
+        and getattr(model, "chunk_size", None) is not None
+        and os.environ.get("KB2E_EPOCH_RETRY", "1") != "0"
+    )
+    retried = False
+
     for epoch in range(start_epoch, cfg.max_epochs):
         t0 = time.perf_counter()
         if fused_epoch:
             key, sk = jax.random.split(key)
-            params, loss = run_epoch(params, sk, data)
+            if retry_enabled and not retried:
+                backup = jax.tree_util.tree_map(jnp.copy, params)
+            try:
+                params, loss = run_epoch(params, sk, data)
+                loss_val = float(loss)  # syncs the epoch
+            except Exception as e:
+                if not retry_enabled or retried:
+                    raise
+                retried = True
+                seg = step_lib.segment_chunks()
+                smaller = max(1, seg // 8)
+                print(
+                    f"[kb2e] EPOCH {epoch} FAILED ({type(e).__name__}: {e}) — "
+                    f"suspected backend kernel-fault drift; retrying once "
+                    f"with KB2E_SEGMENT_CHUNKS {seg} -> {smaller}. "
+                    f"Re-probe with benchmarks/segment_probe.py.",
+                    flush=True,
+                )
+                run_epoch = step_lib.make_epoch_runner(
+                    model, cfg, batch_size, cfg.num_batches, mesh=mesh,
+                    segment_chunks_override=smaller,
+                )
+                params, loss = run_epoch(backup, sk, data)
+                loss_val = float(loss)
         else:
             loss = jnp.float32(0.0)
             for batch_idx in range(cfg.num_batches):
                 key, sk = jax.random.split(key)
                 params, batch_loss = run_step(params, sk, data)
                 loss = loss + batch_loss
-        loss_val = float(loss)  # syncs the epoch
+            loss_val = float(loss)  # syncs the epoch
         dt = time.perf_counter() - t0
         if verbose:
             # Reference epoch line (common/trainer.cpp:105).

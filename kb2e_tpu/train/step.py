@@ -36,6 +36,7 @@ class DeviceData(NamedTuple):
     sorted_r: jax.Array
     sorted_t: jax.Array
     cuckoo_table: "jax.Array | None"  # [2*M, 2] or None (fallback)
+    cuckoo_fp: "jax.Array | None"  # [2*M] fingerprint fast probe (or None)
     cuckoo_m: jax.Array  # int32 scalar
     cuckoo_salt: jax.Array  # int32 scalar
     n_relations: jax.Array  # int32 scalar (for (h, r) key packing)
@@ -55,6 +56,7 @@ class DeviceData(NamedTuple):
             sorted_r=jnp.asarray(ts.sorted_r),
             sorted_t=jnp.asarray(ts.sorted_t),
             cuckoo_table=(None if ts.cuckoo_table is None else jnp.asarray(ts.cuckoo_table)),
+            cuckoo_fp=(None if getattr(ts, "cuckoo_fp", None) is None else jnp.asarray(ts.cuckoo_fp)),
             cuckoo_m=jnp.int32(ts.cuckoo_m),
             cuckoo_salt=jnp.int32(ts.cuckoo_salt),
             n_relations=jnp.int32(ts.n_relations),
@@ -80,6 +82,7 @@ def _with_path_data(
         data.sorted_t,
         resample_rounds=resample_rounds,
         cuckoo_table=data.cuckoo_table,
+        cuckoo_fp=data.cuckoo_fp,
         cuckoo_m=data.cuckoo_m,
         cuckoo_salt=data.cuckoo_salt,
     )
@@ -114,6 +117,7 @@ def make_train_step(model: Model, cfg: EmbeddingConfig, batch_size: int):
             method=method,
             resample_rounds=cfg.corruption_resample_rounds,
             cuckoo_table=data.cuckoo_table,
+            cuckoo_fp=data.cuckoo_fp,
             cuckoo_m=data.cuckoo_m,
             cuckoo_salt=data.cuckoo_salt,
             n_relations=data.n_relations,
@@ -174,6 +178,7 @@ def make_epoch_runner(
     mesh=None,
     unroll: int = 1,
     fused: "bool | None" = None,
+    segment_chunks_override: "int | None" = None,
 ):
     """Build a jitted runner executing a WHOLE epoch (num_batches steps) in
     one launch via ``lax.scan`` — the reference's epoch loop
@@ -254,6 +259,7 @@ def make_epoch_runner(
             method=method,
             resample_rounds=cfg.corruption_resample_rounds,
             cuckoo_table=data.cuckoo_table,
+            cuckoo_fp=data.cuckoo_fp,
             cuckoo_m=data.cuckoo_m,
             cuckoo_salt=data.cuckoo_salt,
             n_relations=data.n_relations,
@@ -318,7 +324,13 @@ def make_epoch_runner(
         # would otherwise pad the sharded dim and silently unbalance shards.
         d = int(mesh.shape["data"])
         chunk = max(d, (chunk // d) * d)
-    seg_chunks = segment_chunks()
+    seg_chunks = (
+        segment_chunks_override
+        if segment_chunks_override is not None
+        else segment_chunks()
+    )
+    if seg_chunks < 1:
+        raise ValueError(f"segment_chunks_override must be >= 1, got {seg_chunks}")
     total = num_batches * rows
     n_chunks = -(-total // chunk)
     n_segments = -(-n_chunks // seg_chunks)

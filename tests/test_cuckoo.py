@@ -43,3 +43,30 @@ def test_cuckoo_handles_2d_queries():
     qt = jnp.asarray([[4, 5], [6, 4]], jnp.int32)
     got = cuckoo.contains(jnp.asarray(idx.table), idx.m, idx.salt, 2, qh, qr, qt)
     np.testing.assert_array_equal(np.asarray(got), [[True, True], [True, False]])
+
+
+def test_fingerprint_probe_matches_exact():
+    """contains_fp (2 gathers) agrees with the exact 4-gather probe on both
+    members (guaranteed) and non-members (false-positive rate 2^-32 —
+    unobservable at test scale)."""
+    rng = np.random.default_rng(7)
+    n_ent, n_rel = 500, 12
+    h = rng.integers(0, n_ent, 3000).astype(np.int32)
+    t = rng.integers(0, n_ent, 3000).astype(np.int32)
+    r = rng.integers(0, n_rel, 3000).astype(np.int32)
+    idx = cuckoo.build(h, r, t, n_relations=n_rel)
+
+    qh = np.concatenate([h[:1000], rng.integers(0, n_ent, 1000).astype(np.int32)])
+    qr = np.concatenate([r[:1000], rng.integers(0, n_rel, 1000).astype(np.int32)])
+    qt = np.concatenate([t[:1000], rng.integers(0, n_ent, 1000).astype(np.int32)])
+
+    exact = cuckoo.contains(
+        jnp.asarray(idx.table), idx.m, idx.salt, n_rel,
+        jnp.asarray(qh), jnp.asarray(qr), jnp.asarray(qt),
+    )
+    fp = cuckoo.contains_fp(
+        jnp.asarray(idx.fp), idx.m, idx.salt, n_rel,
+        jnp.asarray(qh), jnp.asarray(qr), jnp.asarray(qt),
+    )
+    np.testing.assert_array_equal(np.asarray(fp), np.asarray(exact))
+    assert bool(np.asarray(fp)[:1000].all())  # members always detected

@@ -52,3 +52,54 @@ def test_crash_resume_matches_uninterrupted(tiny_dataset, tmp_path):
             np.asarray(p_full[k]), np.asarray(p_resumed[k]), atol=1e-7,
             err_msg=f"param {k} diverged after resume",
         )
+
+
+def test_epoch_retry_on_simulated_backend_fault(tiny_dataset, capsys):
+    """Backend-drift canary (train/loop.py): a chunk-sequential epoch that
+    raises triggers ONE rebuild at segment length /8 and a retry of the
+    SAME epoch from the retained start params — training completes instead
+    of dying mid-run."""
+    from kb2e_tpu.train import step as step_lib
+
+    cfg = EmbeddingConfig(
+        embedding_size=8, learning_rate=0.01, margin=1.0, method=Method.BERN,
+        num_batches=4, max_epochs=4, distance=Distance.L1, seed=9,
+    )
+    model = get_model("transr")
+
+    real_make = step_lib.make_epoch_runner
+    calls = {"n": 0, "override": None}
+
+    def faulty_make(*args, **kwargs):
+        override = kwargs.get("segment_chunks_override")
+        run = real_make(*args, **kwargs)
+        if override is not None:
+            calls["override"] = override
+            return run  # the rebuilt (smaller-segment) runner works
+
+        def wrapped(params, key, data):
+            calls["n"] += 1
+            if calls["n"] == 2:  # second epoch launch "crashes the worker"
+                raise RuntimeError("simulated axon kernel fault (UNAVAILABLE)")
+            return run(params, key, data)
+
+        return wrapped
+
+    step_lib.make_epoch_runner = faulty_make
+    try:
+        losses = []
+        params = train_loop.train(
+            model, cfg, tiny_dataset.train,
+            metrics_fn=lambda rec: losses.append(rec["loss"]),
+            verbose=False,
+        )
+    finally:
+        step_lib.make_epoch_runner = real_make
+
+    assert len(losses) == cfg.max_epochs  # every epoch completed
+    assert all(np.isfinite(losses))
+    assert calls["override"] == max(1, step_lib.segment_chunks() // 8)
+    for v in params.values():
+        assert np.isfinite(np.asarray(v)).all()
+    out = capsys.readouterr().out
+    assert "FAILED" in out and "KB2E_SEGMENT_CHUNKS" in out

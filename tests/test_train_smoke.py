@@ -196,3 +196,38 @@ def test_segment_chunks_env_read_at_call_time(monkeypatch):
         step_lib.segment_chunks()
     monkeypatch.delenv("KB2E_SEGMENT_CHUNKS")
     assert step_lib.segment_chunks() == step_lib.DEFAULT_SEGMENT_CHUNKS
+
+
+@pytest.mark.parametrize("model_name", ["transh", "transr"])
+def test_multi_negative_chunk_sequential_models(tiny_dataset, model_name):
+    """K>1 on TransH and the chunk-sequential TransR path (VERDICT r04
+    item 6): rows = B*K flows through chunking/padding (K=3 makes B*K a
+    non-multiple of TransR's 256 chunk) and training still learns."""
+    from kb2e_tpu.config import EmbeddingConfig
+    from kb2e_tpu.constants import Distance
+    from kb2e_tpu.models import get_model
+
+    ts = tiny_dataset.train
+    cfg = EmbeddingConfig(
+        embedding_size=16, learning_rate=0.02 / 3, margin=1.0,
+        method=Method.BERN, num_batches=8, max_epochs=10,
+        distance=Distance.L1, seed=3, num_negatives=3,
+    )
+    model = get_model(model_name)
+    data = step_lib.DeviceData.from_triple_set(ts)
+    bs = step_lib.batch_size_for(ts.num_triples, cfg.num_batches)
+    assert (bs * 3) % getattr(model, "chunk_size", 1) != 0 or model_name == "transh"
+    params = model.init_params(
+        jax.random.PRNGKey(1), ts.n_entities, ts.n_relations, cfg
+    )
+    run = step_lib.make_epoch_runner(model, cfg, bs, cfg.num_batches)
+    key = jax.random.PRNGKey(2)
+    losses = []
+    for _ in range(10):
+        key, sk = jax.random.split(key)
+        params, loss = run(params, sk, data)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    for v in params.values():
+        assert np.isfinite(np.asarray(v)).all()
