@@ -194,35 +194,57 @@ def _make_transh_kernel(lr: float, margin: float, k: int, max_iters: int):
         i = pl.program_id(0)
         nb = pl.num_programs(0)
 
+        def row_dmas(j, base):
+            """The 6 snapshot-row copies of sample ``j`` into rows slot
+            ``base`` (h, t, r, w, nh, nt).  Reads come from the IMMUTABLE
+            batch-start snapshot (writes go to *_out), so sample j+1's rows
+            can be fetched while sample j's update chain runs — the
+            cross-sample software pipeline (VERDICT r04 item 9)."""
+            srcs = (
+                (ent_snap, ph_r[j]), (ent_snap, pt_r[j]), (rel_snap, r_r[j]),
+                (norm_snap, r_r[j]), (ent_snap, nh_r[j]), (ent_snap, nt_r[j]),
+            )
+            return [
+                pltpu.make_async_copy(
+                    tbl.at[pl.ds(idx, 1), :],
+                    rows.at[pl.ds(base + slot, 1), :],
+                    sems.at[base + slot],
+                )
+                for slot, (tbl, idx) in enumerate(srcs)
+            ]
+
         @pl.when(i == 0)
         def _init():
             lacc[0, 0] = 0.0
             for src, dst in ((ent_snap, ent_out), (rel_snap, rel_out), (norm_snap, norm_out)):
-                cp = pltpu.make_async_copy(src, dst, sems.at[6])
+                cp = pltpu.make_async_copy(src, dst, sems.at[14])
                 cp.start()
                 cp.wait()
+            # Prime the pipeline: sample 0's rows into slot 0.
+            for d in row_dmas(0, 0):
+                d.start()
+
+        base = (i % 2) * 6
+
+        # Start sample i+1's fetches into the OTHER slot before consuming
+        # sample i — they overlap i's wait and its whole RMW update chain.
+        @pl.when(i + 1 < nb)
+        def _prefetch():
+            for d in row_dmas(i + 1, ((i + 1) % 2) * 6):
+                d.start()
+
+        for d in row_dmas(i, base):
+            d.wait()
 
         ph, pt, rr = ph_r[i], pt_r[i], r_r[i]
         nh, nt, valid = nh_r[i], nt_r[i], v_r[i]
 
-        # Snapshot rows: h, t, r, w, nh, nt → rows[0..5].
-        srcs = (
-            (ent_snap, ph), (ent_snap, pt), (rel_snap, rr),
-            (norm_snap, rr), (ent_snap, nh), (ent_snap, nt),
-        )
-        dmas = []
-        for slot, (tbl, idx) in enumerate(srcs):
-            d = pltpu.make_async_copy(
-                tbl.at[pl.ds(idx, 1), :], rows.at[pl.ds(slot, 1), :], sems.at[slot]
-            )
-            d.start()
-            dmas.append(d)
-        for d in dmas:
-            d.wait()
-
-        he, te, rv = rows[0:1, :], rows[1:2, :], rows[2:3, :]
-        w = rows[3:4, :]
-        nhv, ntv = rows[4:5, :], rows[5:6, :]
+        he = rows[pl.ds(base + 0, 1), :]
+        te = rows[pl.ds(base + 1, 1), :]
+        rv = rows[pl.ds(base + 2, 1), :]
+        w = rows[pl.ds(base + 3, 1), :]
+        nhv = rows[pl.ds(base + 4, 1), :]
+        ntv = rows[pl.ds(base + 5, 1), :]
 
         def residual(h_row, t_row):
             hs = jnp.sum(w * h_row)
@@ -239,13 +261,13 @@ def _make_transh_kernel(lr: float, margin: float, k: int, max_iters: int):
         def rmw_row(tbl, idx, fn):
             """Read-modify-write one table row through the work buffer."""
             d = pltpu.make_async_copy(
-                tbl.at[pl.ds(idx, 1), :], wrk.at[pl.ds(0, 1), :], sems.at[0]
+                tbl.at[pl.ds(idx, 1), :], wrk.at[pl.ds(0, 1), :], sems.at[12]
             )
             d.start()
             d.wait()
             wrk[0:1, :] = fn(wrk[0:1, :])
             d = pltpu.make_async_copy(
-                wrk.at[pl.ds(0, 1), :], tbl.at[pl.ds(idx, 1), :], sems.at[0]
+                wrk.at[pl.ds(0, 1), :], tbl.at[pl.ds(idx, 1), :], sems.at[12]
             )
             d.start()
             d.wait()
@@ -259,31 +281,31 @@ def _make_transh_kernel(lr: float, margin: float, k: int, max_iters: int):
 
         def orth_pair(tbl_a, idx_a, tbl_b, idx_b):
             """Coupled orthogonality RMW of (tbl_a[idx_a], tbl_b[idx_b])."""
-            d = pltpu.make_async_copy(
-                tbl_a.at[pl.ds(idx_a, 1), :], wrk.at[pl.ds(0, 1), :], sems.at[0]
+            da = pltpu.make_async_copy(
+                tbl_a.at[pl.ds(idx_a, 1), :], wrk.at[pl.ds(0, 1), :], sems.at[12]
             )
-            d.start()
-            d.wait()
-            d = pltpu.make_async_copy(
-                tbl_b.at[pl.ds(idx_b, 1), :], wrk2.at[pl.ds(0, 1), :], sems.at[1]
+            da.start()
+            db = pltpu.make_async_copy(
+                tbl_b.at[pl.ds(idx_b, 1), :], wrk2.at[pl.ds(0, 1), :], sems.at[13]
             )
-            d.start()
-            d.wait()
+            db.start()
+            da.wait()
+            db.wait()
             a_new, b_new = _orthogonality_project_value(
                 wrk[0:1, :], wrk2[0:1, :], lr, max_iters
             )
             wrk[0:1, :] = a_new
             wrk2[0:1, :] = b_new
-            d = pltpu.make_async_copy(
-                wrk.at[pl.ds(0, 1), :], tbl_a.at[pl.ds(idx_a, 1), :], sems.at[0]
+            da = pltpu.make_async_copy(
+                wrk.at[pl.ds(0, 1), :], tbl_a.at[pl.ds(idx_a, 1), :], sems.at[12]
             )
-            d.start()
-            d.wait()
-            d = pltpu.make_async_copy(
-                wrk2.at[pl.ds(0, 1), :], tbl_b.at[pl.ds(idx_b, 1), :], sems.at[1]
+            da.start()
+            db = pltpu.make_async_copy(
+                wrk2.at[pl.ds(0, 1), :], tbl_b.at[pl.ds(idx_b, 1), :], sems.at[13]
             )
-            d.start()
-            d.wait()
+            db.start()
+            da.wait()
+            db.wait()
 
         def gradient_update(res, h_row, t_row, hs, ts, h_idx, t_idx, beta):
             """transh/trainer.cpp:11-58 for one (h, t, r) with sign beta."""
@@ -631,11 +653,14 @@ def transh_sequential_update(
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         scratch_shapes=[
-            pltpu.VMEM((6, k), jnp.float32),
+            # Double-buffered row slots: [2 samples × 6 rows, k] — sample
+            # i+1's snapshot rows stream in while sample i's update runs.
+            pltpu.VMEM((12, k), jnp.float32),
             pltpu.VMEM((1, k), jnp.float32),
             pltpu.VMEM((1, k), jnp.float32),
             pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((7,)),
+            # 0-11 row-slot DMAs, 12-13 RMW work buffers, 14 init copies.
+            pltpu.SemaphoreType.DMA((15,)),
         ],
     )
     ent_out, rel_out, norm_out, loss = pl.pallas_call(
