@@ -189,13 +189,16 @@ def _rank_seg_clustered(
     batch: int,
     kmax: int,
 ):
-    """A SHORT scan over cluster-routed batches (segment of the eval).
+    """A scan over cluster-routed batches (segment of the eval).
 
-    CTransR's routed sweep inside a full-length eval scan crashes the axon
-    backend's TPU worker; short segments execute reliably (the same
-    empirical pattern as the training-side segmenting, PERF.md "Axon
-    segment fault").  Segment length: KB2E_CLUSTER_EVAL_SEGMENT (0 = use
-    one dispatch per batch)."""
+    History: CTransR's routed sweep inside a full-length eval scan crashed
+    the r04 axon backend's TPU worker, forcing 16-batch segments.  The r05
+    probe sweep (benchmarks/segment_probe.py --eval) shows the fault has
+    drifted away — 0/8/16/32/64/128/192(full) all pass — and the warm wall
+    is launch-overhead-bound: 90 s per-batch → 11.3 s at 8 → 1.93 s at 128
+    ≈ full-length.  Default: 128 (measured optimum, curve in
+    EVAL_SEGMENT_SWEEP_r05.json); KB2E_CLUSTER_EVAL_SEGMENT overrides
+    (0 = one dispatch per batch, for fault triage)."""
     entity_padded = ranking.pad_entities(params["entity"], block_size)
 
     def body(carry, x):
@@ -449,7 +452,7 @@ def evaluate(
         if cluster_aware:
             import os
 
-            seg = int(os.environ.get("KB2E_CLUSTER_EVAL_SEGMENT", "16"))
+            seg = int(os.environ.get("KB2E_CLUSTER_EVAL_SEGMENT", "128"))
             nb = len(batch_rel)
             rel_np = np.asarray(batch_rel, dtype=np.int32)
             start_np = np.asarray(batch_start, dtype=np.int32)
@@ -510,7 +513,7 @@ def evaluate(
     if cluster_aware:
         import os
 
-        seg = int(os.environ.get("KB2E_CLUSTER_EVAL_SEGMENT", "16"))
+        seg = int(os.environ.get("KB2E_CLUSTER_EVAL_SEGMENT", "128"))
         nb = len(batch_rel)
         if seg > 0:
             # Short scan segments (full-length scans of the routed
