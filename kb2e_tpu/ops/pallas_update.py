@@ -161,26 +161,41 @@ def _orthogonality_project_value(a, b, rate, max_iters):
     """VMEM-value orthogonality projector on [1, kp] rows — the exact
     arithmetic of ops/projections.py::orthogonality_project (itself parity
     with common/utils.cpp:79-111, including the non-reset ``sum``
-    accumulator), as a masked fixed-trip loop: converged iterations freeze
-    the carry, so the result equals the early-exiting while_loop."""
+    accumulator), as an EARLY-EXITING ``lax.while_loop``: the projector
+    almost always converges on the first check (x ≤ 0.1), so a fixed
+    16-trip masked loop wasted ~16× the serial VPU latency per call — six
+    calls per violating sample made it the parity kernel's dominant cost.
+    The data-dependent trip count runs on the TPU scalar core (same pattern
+    as _transr_ball_value).  Bitwise-equal to the former masked fixed-trip
+    loop: a converged check scales b by the accumulated sum exactly as the
+    masked version's non-firing trip did (applied post-loop, only when the
+    exit cause was convergence, not the trip cap)."""
     b = b / jnp.sqrt(jnp.sum(b * b))
 
-    def body(_, carry):
-        a, b, s, done = carry
-        s_new = jnp.where(done, s, s + jnp.sum(b * b))
+    def check(a, b, s):
+        s_new = s + jnp.sum(b * b)
+        b_scaled = b / jnp.sqrt(s_new)
+        return jnp.sum(b_scaled * a) > 0.1
+
+    def cond(carry):
+        it, a, b, s = carry
+        return check(a, b, s) & (it < max_iters)
+
+    def body(carry):
+        it, a, b, s = carry
+        s_new = s + jnp.sum(b * b)
         s_sqrt = jnp.sqrt(s_new)
-        b_scaled = jnp.where(done, b, b / s_sqrt)
-        x = jnp.sum(b_scaled * a)
-        fire = (x > 0.1) & jnp.logical_not(done)
+        b_scaled = b / s_sqrt
         a2 = a - rate * b_scaled
         b2 = b_scaled - rate * a2
-        a_next = jnp.where(fire, a2, a)
-        b_next = jnp.where(fire, b2, b_scaled)
-        return a_next, b_next, s_sqrt, done | jnp.logical_not(fire)
+        return it + 1, a2, b2, s_sqrt
 
-    a, b, _, _ = jax.lax.fori_loop(
-        0, max_iters, body, (a, b, jnp.float32(0.0), jnp.bool_(False))
-    )
+    it, a, b, s = jax.lax.while_loop(cond, body, (0, a, b, jnp.float32(0.0)))
+    # Converged exit: the masked loop's non-firing trip still set
+    # b = b / sqrt(s + Σb²); reproduce it.  Cap exit (it == max_iters):
+    # the masked loop's b stayed at the last fired trip's value.
+    converged = it < max_iters
+    b = jnp.where(converged, b / jnp.sqrt(s + jnp.sum(b * b)), b)
     return a, b / jnp.sqrt(jnp.sum(b * b))
 
 
@@ -189,7 +204,7 @@ def _make_transh_kernel(lr: float, margin: float, k: int, max_iters: int):
         ph_r, pt_r, r_r, nh_r, nt_r, v_r,  # scalar prefetch (SMEM int32 [B])
         ent_snap, rel_snap, norm_snap,  # ANY (HBM) — batch-start snapshot
         ent_out, rel_out, norm_out, loss_out,  # outputs
-        rows, wrk, wrk2, lacc, sems,  # scratch
+        rows, wrk, lacc, sems,  # scratch
     ):
         i = pl.program_id(0)
         nb = pl.num_programs(0)
@@ -258,20 +273,6 @@ def _make_transh_kernel(lr: float, margin: float, k: int, max_iters: int):
         e_n = jnp.sum(jnp.abs(res_n))
         viol = (e_p + margin > e_n) & (valid != 0)
 
-        def rmw_row(tbl, idx, fn):
-            """Read-modify-write one table row through the work buffer."""
-            d = pltpu.make_async_copy(
-                tbl.at[pl.ds(idx, 1), :], wrk.at[pl.ds(0, 1), :], sems.at[12]
-            )
-            d.start()
-            d.wait()
-            wrk[0:1, :] = fn(wrk[0:1, :])
-            d = pltpu.make_async_copy(
-                wrk.at[pl.ds(0, 1), :], tbl.at[pl.ds(idx, 1), :], sems.at[12]
-            )
-            d.start()
-            d.wait()
-
         def ball(row):
             n = jnp.sqrt(jnp.sum(row * row))
             return jnp.where(n > 1.0, row / n, row)
@@ -279,56 +280,93 @@ def _make_transh_kernel(lr: float, margin: float, k: int, max_iters: int):
         def sphere(row):
             return row / jnp.sqrt(jnp.sum(row * row))
 
-        def orth_pair(tbl_a, idx_a, tbl_b, idx_b):
-            """Coupled orthogonality RMW of (tbl_a[idx_a], tbl_b[idx_b])."""
-            da = pltpu.make_async_copy(
-                tbl_a.at[pl.ds(idx_a, 1), :], wrk.at[pl.ds(0, 1), :], sems.at[12]
-            )
-            da.start()
-            db = pltpu.make_async_copy(
-                tbl_b.at[pl.ds(idx_b, 1), :], wrk2.at[pl.ds(0, 1), :], sems.at[13]
-            )
-            db.start()
-            da.wait()
-            db.wait()
-            a_new, b_new = _orthogonality_project_value(
-                wrk[0:1, :], wrk2[0:1, :], lr, max_iters
-            )
-            wrk[0:1, :] = a_new
-            wrk2[0:1, :] = b_new
-            da = pltpu.make_async_copy(
-                wrk.at[pl.ds(0, 1), :], tbl_a.at[pl.ds(idx_a, 1), :], sems.at[12]
-            )
-            da.start()
-            db = pltpu.make_async_copy(
-                wrk2.at[pl.ds(0, 1), :], tbl_b.at[pl.ds(idx_b, 1), :], sems.at[13]
-            )
-            db.start()
-            da.wait()
-            db.wait()
+        # FUSED RMW (r05): the reference's per-sample chain touches only four
+        # rows — rel[rr] (R), norm[rr] (W), ent[h], ent[t] — and every
+        # cross-row interaction goes through W.  R/W live in the ``wrk``
+        # accumulator for the WHOLE violating sample (slots 0/1) and the
+        # entity rows per gradient_update (slots 2/3); each row is DMA'd
+        # once in and once out — 12 row copies per violating sample instead
+        # of the former 62 read-modify-write round trips, with bitwise
+        # identical arithmetic (grad deltas come from the immutable SNAPSHOT
+        # residuals, so only the touched rows' own sequential op order
+        # matters, and that order is preserved on the VMEM values).
+        # h == t aliasing (reference applies both roles to one row
+        # sequentially): T's ops are routed to H's slot via a dynamic slot
+        # index, reproducing the double-application exactly; T's write-back
+        # is skipped.  wrk is [4, kp]: 0=R, 1=W, 2=H, 3=T.
+
+        def acc_copy(slot, tbl, idx, to_acc, sem):
+            src = tbl.at[pl.ds(idx, 1), :]
+            dst = wrk.at[pl.ds(slot, 1), :]
+            if to_acc:
+                return pltpu.make_async_copy(src, dst, sems.at[sem])
+            return pltpu.make_async_copy(dst, src, sems.at[sem])
 
         def gradient_update(res, h_row, t_row, hs, ts, h_idx, t_idx, beta):
-            """transh/trainer.cpp:11-58 for one (h, t, r) with sign beta."""
+            """transh/trainer.cpp:11-58 for one (h, t, r) with sign beta,
+            on VMEM-resident rows (R/W already loaded by _update)."""
+            distinct = h_idx != t_idx
+            t_slot = jnp.where(distinct, 3, 2)
+            dh = acc_copy(2, ent_out, h_idx, True, 12)
+            dh.start()
+            dt = acc_copy(3, ent_out, t_idx, True, 13)
+            dt.start()
+            dh.wait()
+            dt.wait()
+
             x = _lane_mask(jnp.where(2.0 * res > 0, 1.0, -1.0), k)
             sum_x = jnp.sum(x * w)
-            rmw_row(rel_out, rr, lambda row: row + (-beta * lr) * x)
-            rmw_row(ent_out, h_idx, lambda row: row + (-beta * lr) * x)
-            rmw_row(ent_out, t_idx, lambda row: row + (beta * lr) * x)
             dw = beta * lr * (x * (hs - ts) + sum_x * (h_row - t_row))
-            rmw_row(norm_out, rr, lambda row: row + dw)
-            rmw_row(rel_out, rr, ball)
-            rmw_row(ent_out, h_idx, ball)
-            rmw_row(ent_out, t_idx, ball)
-            rmw_row(norm_out, rr, sphere)
-            orth_pair(rel_out, rr, norm_out, rr)
-            orth_pair(ent_out, h_idx, norm_out, rr)
-            orth_pair(ent_out, t_idx, norm_out, rr)
+
+            def rd(slot):
+                return wrk[pl.ds(slot, 1), :]
+
+            def wr(slot, val):
+                wrk[pl.ds(slot, 1), :] = val
+
+            # Reference op order, each step reading the current VMEM value.
+            wr(0, rd(0) + (-beta * lr) * x)  # R += …
+            wr(2, rd(2) + (-beta * lr) * x)  # H += …
+            wr(t_slot, rd(t_slot) + (beta * lr) * x)  # T += …
+            wr(1, rd(1) + dw)  # W += dw
+            wr(0, ball(rd(0)))
+            wr(2, ball(rd(2)))
+            wr(t_slot, ball(rd(t_slot)))
+            wr(1, sphere(rd(1)))
+            for a_slot in (0, 2, t_slot):
+                a_new, b_new = _orthogonality_project_value(
+                    rd(a_slot), rd(1), lr, max_iters
+                )
+                wr(a_slot, a_new)
+                wr(1, b_new)
+
+            dh = acc_copy(2, ent_out, h_idx, False, 12)
+            dh.start()
+            dh.wait()
+
+            @pl.when(distinct)
+            def _wb_t():
+                dt = acc_copy(3, ent_out, t_idx, False, 13)
+                dt.start()
+                dt.wait()
 
         @pl.when(viol)
         def _update():
             lacc[0, 0] += margin + e_p - e_n
+            dr = acc_copy(0, rel_out, rr, True, 12)
+            dr.start()
+            dwm = acc_copy(1, norm_out, rr, True, 13)
+            dwm.start()
+            dr.wait()
+            dwm.wait()
             gradient_update(res_p, he, te, hs_p, ts_p, ph, pt, -1.0)
             gradient_update(res_n, nhv, ntv, hs_n, ts_n, nh, nt, +1.0)
+            dr = acc_copy(0, rel_out, rr, False, 12)
+            dr.start()
+            dwm = acc_copy(1, norm_out, rr, False, 13)
+            dwm.start()
+            dr.wait()
+            dwm.wait()
 
         @pl.when(i == nb - 1)
         def _emit():
@@ -656,10 +694,10 @@ def transh_sequential_update(
             # Double-buffered row slots: [2 samples × 6 rows, k] — sample
             # i+1's snapshot rows stream in while sample i's update runs.
             pltpu.VMEM((12, k), jnp.float32),
-            pltpu.VMEM((1, k), jnp.float32),
-            pltpu.VMEM((1, k), jnp.float32),
+            # Fused-RMW accumulator: 0=rel, 1=w, 2=h, 3=t (see kernel).
+            pltpu.VMEM((4, k), jnp.float32),
             pltpu.SMEM((1, 1), jnp.float32),
-            # 0-11 row-slot DMAs, 12-13 RMW work buffers, 14 init copies.
+            # 0-11 row-slot DMAs, 12-13 accumulator copies, 14 init copies.
             pltpu.SemaphoreType.DMA((15,)),
         ],
     )
