@@ -58,6 +58,11 @@ def main() -> None:
     )
 
     cases = {
+        "transe": (
+            dict(learning_rate=0.05, margin=1.0, l1=True),
+            {"entity": jnp.asarray(ent), "relation": jnp.asarray(rel)},
+            None,
+        ),
         "transh": (
             dict(learning_rate=0.05, margin=1.0, max_iters=16),
             {"entity": jnp.asarray(ent), "relation": jnp.asarray(rel), "norm": jnp.asarray(w)},
@@ -69,7 +74,7 @@ def main() -> None:
             "proj",
         ),
     }
-    selected = [s.strip() for s in os.environ.get("KB2E_CHECK_MODELS", "transh,transr").split(",")]
+    selected = [s.strip() for s in os.environ.get("KB2E_CHECK_MODELS", "transe,transh,transr").split(",")]
 
     ok = True
     for name, (kwargs, params, extra_key) in cases.items():
@@ -78,9 +83,10 @@ def main() -> None:
         model = get_model(name)
         fn = getattr(pallas_update, f"{name}_sequential_update")
 
+        extra = (params[extra_key],) if extra_key else ()
         t0 = time.time()
         out = fn(
-            params["entity"], params["relation"], params[extra_key],
+            params["entity"], params["relation"], *extra,
             batch["ph"], batch["pt"], batch["r"], batch["nh"], batch["nt"],
             batch["valid"], interpret=False, **kwargs,
         )
@@ -92,7 +98,7 @@ def main() -> None:
         v2[0] = False
         t0 = time.time()
         out2 = fn(
-            params["entity"], params["relation"], params[extra_key],
+            params["entity"], params["relation"], *extra,
             batch["ph"], batch["pt"], batch["r"], batch["nh"], batch["nt"],
             jnp.asarray(v2), interpret=False, **kwargs,
         )
@@ -101,9 +107,10 @@ def main() -> None:
 
         ref_params, ref_loss = model.sequential_update(params, batch, cfg)
         loss_ok = abs(loss_tpu - float(ref_loss)) < 1e-3 * max(1.0, abs(float(ref_loss)))
+        keys = ["entity", "relation"] + ([extra_key] if extra_key else [])
         errs = [
             float(jnp.max(jnp.abs(out[i] - ref_params[kk])))
-            for i, kk in enumerate(["entity", "relation", extra_key])
+            for i, kk in enumerate(keys)
         ]
         tables_ok = all(e < 1e-4 for e in errs)
         ok &= loss_ok and tables_ok

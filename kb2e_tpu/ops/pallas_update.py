@@ -46,38 +46,59 @@ def _make_kernel(l1: bool, lr: float, margin: float, k: int):
         ph_r, pt_r, r_r, nh_r, nt_r, v_r,  # scalar prefetch (SMEM int32 [B])
         ent_snap, rel_snap,  # ANY (HBM) — batch-start snapshot, read-only
         ent_out, rel_out, loss_out,  # outputs: tables (ANY) + loss (SMEM)
-        rows, wrk, lacc, sems,  # scratch: VMEM rows, VMEM work row, SMEM loss, DMA sems
+        rows, wrk, lacc, sems,  # scratch: VMEM rows, VMEM accumulator, SMEM loss, DMA sems
     ):
         i = pl.program_id(0)
         nb = pl.num_programs(0)
 
+        def row_dmas(j, base):
+            """Sample j's 5 snapshot rows (h, t, r, nh, nt) into rows slot
+            ``base`` — snapshot reads are immutable, so sample j+1's rows
+            stream in during sample j's update (cross-sample pipeline,
+            same design as the TransH kernel)."""
+            srcs = (
+                (ent_snap, ph_r[j]), (ent_snap, pt_r[j]), (rel_snap, r_r[j]),
+                (ent_snap, nh_r[j]), (ent_snap, nt_r[j]),
+            )
+            return [
+                pltpu.make_async_copy(
+                    tbl.at[pl.ds(idx, 1), :],
+                    rows.at[pl.ds(base + slot, 1), :],
+                    sems.at[base + slot],
+                )
+                for slot, (tbl, idx) in enumerate(srcs)
+            ]
+
         @pl.when(i == 0)
         def _init():
             lacc[0, 0] = 0.0
-            cp = pltpu.make_async_copy(ent_snap, ent_out, sems.at[5])
+            cp = pltpu.make_async_copy(ent_snap, ent_out, sems.at[12])
             cp.start()
             cp.wait()
-            cp = pltpu.make_async_copy(rel_snap, rel_out, sems.at[5])
+            cp = pltpu.make_async_copy(rel_snap, rel_out, sems.at[12])
             cp.start()
             cp.wait()
+            for d in row_dmas(0, 0):
+                d.start()
+
+        base = (i % 2) * 5
+
+        @pl.when(i + 1 < nb)
+        def _prefetch():
+            for d in row_dmas(i + 1, ((i + 1) % 2) * 5):
+                d.start()
+
+        for d in row_dmas(i, base):
+            d.wait()
 
         ph, pt, rr = ph_r[i], pt_r[i], r_r[i]
         nh, nt, valid = nh_r[i], nt_r[i], v_r[i]
 
-        # Snapshot rows h, t, r, nh, nt → rows[0..4] (5 parallel DMAs).
-        srcs = ((ent_snap, ph), (ent_snap, pt), (rel_snap, rr), (ent_snap, nh), (ent_snap, nt))
-        dmas = []
-        for slot, (tbl, idx) in enumerate(srcs):
-            d = pltpu.make_async_copy(
-                tbl.at[pl.ds(idx, 1), :], rows.at[pl.ds(slot, 1), :], sems.at[slot]
-            )
-            d.start()
-            dmas.append(d)
-        for d in dmas:
-            d.wait()
-
-        h, t, rv = rows[0:1, :], rows[1:2, :], rows[2:3, :]
-        nhv, ntv = rows[3:4, :], rows[4:5, :]
+        h = rows[pl.ds(base + 0, 1), :]
+        t = rows[pl.ds(base + 1, 1), :]
+        rv = rows[pl.ds(base + 2, 1), :]
+        nhv = rows[pl.ds(base + 3, 1), :]
+        ntv = rows[pl.ds(base + 4, 1), :]
         res_p = t - h - rv
         res_n = ntv - nhv - rv
         if l1:
@@ -96,53 +117,72 @@ def _make_kernel(l1: bool, lr: float, margin: float, k: int):
             lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
             return jnp.where(lane < k, x, 0.0)
 
-        def add_row(tbl, idx, delta):
-            d = pltpu.make_async_copy(
-                tbl.at[pl.ds(idx, 1), :], wrk.at[pl.ds(0, 1), :], sems.at[0]
-            )
-            d.start()
-            d.wait()
-            wrk[0:1, :] = wrk[0:1, :] + delta
-            d = pltpu.make_async_copy(
-                wrk.at[pl.ds(0, 1), :], tbl.at[pl.ds(idx, 1), :], sems.at[0]
-            )
-            d.start()
-            d.wait()
+        # FUSED RMW (same design as the TransH kernel): the relation row is
+        # VMEM-resident across both directions (wrk slot 0), the two entity
+        # rows per direction in slots 1/2 with dynamic aliasing for h == t —
+        # 10 row copies per violating sample instead of 24 read-modify-write
+        # round trips, bitwise-identical arithmetic (deltas come from the
+        # snapshot residuals; each touched row's own op order is preserved).
 
-        def norm_row(tbl, idx):
-            d = pltpu.make_async_copy(
-                tbl.at[pl.ds(idx, 1), :], wrk.at[pl.ds(0, 1), :], sems.at[0]
-            )
-            d.start()
-            d.wait()
-            row = wrk[0:1, :]
+        def acc_copy(slot, tbl, idx, to_acc, sem):
+            src = tbl.at[pl.ds(idx, 1), :]
+            dst = wrk.at[pl.ds(slot, 1), :]
+            if to_acc:
+                return pltpu.make_async_copy(src, dst, sems.at[sem])
+            return pltpu.make_async_copy(dst, src, sems.at[sem])
+
+        def ball(row):
             nrm = jnp.sqrt(jnp.sum(row * row))
-            wrk[0:1, :] = jnp.where(nrm > 1.0, row / nrm, row)
-            d = pltpu.make_async_copy(
-                wrk.at[pl.ds(0, 1), :], tbl.at[pl.ds(idx, 1), :], sems.at[0]
-            )
-            d.start()
-            d.wait()
+            return jnp.where(nrm > 1.0, row / nrm, row)
+
+        def direction_update(res, h_idx, t_idx, beta):
+            """gradientUpdate (transe/trainer.cpp:25-46): r,h −= β·lr·x;
+            t += β·lr·x; then ball-norm the three touched rows."""
+            distinct = h_idx != t_idx
+            t_slot = jnp.where(distinct, 2, 1)
+            dh = acc_copy(1, ent_out, h_idx, True, 13)
+            dh.start()
+            dt = acc_copy(2, ent_out, t_idx, True, 14)
+            dt.start()
+            dh.wait()
+            dt.wait()
+
+            x = grad(res)
+
+            def rd(slot):
+                return wrk[pl.ds(slot, 1), :]
+
+            def wr(slot, val):
+                wrk[pl.ds(slot, 1), :] = val
+
+            wr(0, rd(0) + (-beta * lr) * x)
+            wr(1, rd(1) + (-beta * lr) * x)
+            wr(t_slot, rd(t_slot) + (beta * lr) * x)
+            wr(0, ball(rd(0)))
+            wr(1, ball(rd(1)))
+            wr(t_slot, ball(rd(t_slot)))
+
+            dh = acc_copy(1, ent_out, h_idx, False, 13)
+            dh.start()
+            dh.wait()
+
+            @pl.when(distinct)
+            def _wb_t():
+                dt = acc_copy(2, ent_out, t_idx, False, 14)
+                dt.start()
+                dt.wait()
 
         @pl.when(viol)
         def _update():
             lacc[0, 0] += margin + e_p - e_n
-            # gradientUpdate(pos, corrupted=False): r,h += lr·x; t −= lr·x.
-            x = grad(res_p)
-            add_row(rel_out, rr, lr * x)
-            add_row(ent_out, ph, lr * x)
-            add_row(ent_out, pt, -lr * x)
-            norm_row(rel_out, rr)
-            norm_row(ent_out, ph)
-            norm_row(ent_out, pt)
-            # gradientUpdate(neg, corrupted=True): signs flipped.
-            xn = grad(res_n)
-            add_row(rel_out, rr, -lr * xn)
-            add_row(ent_out, nh, -lr * xn)
-            add_row(ent_out, nt, lr * xn)
-            norm_row(rel_out, rr)
-            norm_row(ent_out, nh)
-            norm_row(ent_out, nt)
+            dr = acc_copy(0, rel_out, rr, True, 13)
+            dr.start()
+            dr.wait()
+            direction_update(res_p, ph, pt, -1.0)
+            direction_update(res_n, nh, nt, +1.0)
+            dr = acc_copy(0, rel_out, rr, False, 13)
+            dr.start()
+            dr.wait()
 
         @pl.when(i == nb - 1)
         def _emit():
@@ -764,10 +804,13 @@ def transe_sequential_update(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((5, k), jnp.float32),
-            pltpu.VMEM((1, k), jnp.float32),
+            # Double-buffered snapshot row slots: [2 samples × 5 rows, k].
+            pltpu.VMEM((10, k), jnp.float32),
+            # Fused-RMW accumulator: 0=rel, 1=h, 2=t (see kernel).
+            pltpu.VMEM((3, k), jnp.float32),
             pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((6,)),
+            # 0-9 row-slot DMAs, 12 init copies, 13-14 accumulator copies.
+            pltpu.SemaphoreType.DMA((15,)),
         ],
     )
     ent_out, rel_out, loss = pl.pallas_call(
