@@ -472,37 +472,62 @@ def _make_transr_kernel(l1: bool, lr: float, margin: float, k: int, max_iters: i
         nb = pl.num_programs(0)
         kp = wrk.shape[1]
 
+        def row_dmas(j, base):
+            """Sample j's snapshot rows (h, t, r, nh, nt) + its W_r matrix
+            into double-buffer slot ``base`` (0 or 1) — all read from the
+            immutable batch-start snapshot, so sample j+1's data streams in
+            during sample j's update (cross-sample pipeline)."""
+            srcs = (
+                (ent_snap, ph_r[j]), (ent_snap, pt_r[j]), (rel_snap, r_r[j]),
+                (ent_snap, nh_r[j]), (ent_snap, nt_r[j]),
+            )
+            ds = [
+                pltpu.make_async_copy(
+                    tbl.at[pl.ds(idx, 1), :],
+                    rows.at[pl.ds(base * 5 + slot, 1), :],
+                    sems.at[base * 5 + slot],
+                )
+                for slot, (tbl, idx) in enumerate(srcs)
+            ]
+            ds.append(
+                pltpu.make_async_copy(
+                    proj_snap.at[pl.ds(r_r[j], 1), :, :],
+                    wsnap.at[pl.ds(base, 1), :, :],
+                    sems.at[10 + base],
+                )
+            )
+            return ds
+
         @pl.when(i == 0)
         def _init():
             lacc[0, 0] = 0.0
             for src, dst in ((ent_snap, ent_out), (rel_snap, rel_out), (proj_snap, proj_out)):
-                cp = pltpu.make_async_copy(src, dst, sems.at[6])
+                cp = pltpu.make_async_copy(src, dst, sems.at[12])
                 cp.start()
                 cp.wait()
+            for d in row_dmas(0, 0):
+                d.start()
+
+        base = i % 2
+
+        @pl.when(i + 1 < nb)
+        def _prefetch():
+            for d in row_dmas(i + 1, (i + 1) % 2):
+                d.start()
+
+        for d in row_dmas(i, base):
+            d.wait()
 
         ph, pt, rr = ph_r[i], pt_r[i], r_r[i]
         nh, nt, valid = nh_r[i], nt_r[i], v_r[i]
 
-        # Snapshot rows h, t, r, nh, nt → rows[0..4]; W_r → wsnap (6 DMAs).
-        srcs = ((ent_snap, ph), (ent_snap, pt), (rel_snap, rr), (ent_snap, nh), (ent_snap, nt))
-        dmas = []
-        for slot, (tbl, idx) in enumerate(srcs):
-            d = pltpu.make_async_copy(
-                tbl.at[pl.ds(idx, 1), :], rows.at[pl.ds(slot, 1), :], sems.at[slot]
-            )
-            d.start()
-            dmas.append(d)
-        dw = pltpu.make_async_copy(
-            proj_snap.at[pl.ds(rr, 1), :, :], wsnap, sems.at[5]
-        )
-        dw.start()
-        for d in dmas:
-            d.wait()
-        dw.wait()
-
-        he, te, rv = rows[0:1, :], rows[1:2, :], rows[2:3, :]
-        nhv, ntv = rows[3:4, :], rows[4:5, :]
-        w = wsnap[0]  # [kp, kp] — snapshot W_r, layout [input j, output i]
+        rb = base * 5
+        he = rows[pl.ds(rb + 0, 1), :]
+        te = rows[pl.ds(rb + 1, 1), :]
+        rv = rows[pl.ds(rb + 2, 1), :]
+        nhv = rows[pl.ds(rb + 3, 1), :]
+        ntv = rows[pl.ds(rb + 4, 1), :]
+        w = wsnap[pl.ds(base, 1), :, :][0]  # [kp, kp] — snapshot W_r [j, i]
 
         def project(row):
             # (row·W)_i — contraction over j rides the MXU.
@@ -517,59 +542,49 @@ def _make_transr_kernel(l1: bool, lr: float, margin: float, k: int, max_iters: i
             e_p, e_n = jnp.sum(res_p * res_p), jnp.sum(res_n * res_n)
         viol = (e_p + margin > e_n) & (valid != 0)
 
-        def rmw_row(tbl, idx, fn):
-            d = pltpu.make_async_copy(
-                tbl.at[pl.ds(idx, 1), :], wrk.at[pl.ds(0, 1), :], sems.at[0]
-            )
-            d.start()
-            d.wait()
-            wrk[0:1, :] = fn(wrk[0:1, :])
-            d = pltpu.make_async_copy(
-                wrk.at[pl.ds(0, 1), :], tbl.at[pl.ds(idx, 1), :], sems.at[0]
-            )
-            d.start()
-            d.wait()
-
         def sphere(row):
             return row / jnp.sqrt(jnp.sum(row * row))
 
-        def load_w():
-            d = pltpu.make_async_copy(
-                proj_out.at[pl.ds(rr, 1), :, :], wblk, sems.at[1]
-            )
-            d.start()
-            d.wait()
+        # FUSED RMW (same design as the TransE/TransH kernels): W_r and the
+        # relation row are VMEM-resident across BOTH directions (wblk and
+        # wrk slot 0); the two entity rows per direction live in wrk slots
+        # 1/2 with dynamic aliasing for h == t.  Per violating sample: 2 W
+        # copies + 10 row copies instead of 4 + 40.
 
-        def store_w():
-            d = pltpu.make_async_copy(
-                wblk, proj_out.at[pl.ds(rr, 1), :, :], sems.at[1]
-            )
-            d.start()
-            d.wait()
+        def acc_copy(slot, tbl, idx, to_acc, sem):
+            src = tbl.at[pl.ds(idx, 1), :]
+            dst = wrk.at[pl.ds(slot, 1), :]
+            if to_acc:
+                return pltpu.make_async_copy(src, dst, sems.at[sem])
+            return pltpu.make_async_copy(dst, src, sems.at[sem])
 
-        def ball_pair(tbl_a, idx_a):
-            """Coupled ‖a·W‖ ≤ 1 RMW of (tbl_a[idx_a], proj_out[rr]);
-            wblk holds the CURRENT W (kept resident across the call)."""
-            d = pltpu.make_async_copy(
-                tbl_a.at[pl.ds(idx_a, 1), :], wrk.at[pl.ds(0, 1), :], sems.at[0]
-            )
-            d.start()
-            d.wait()
+        def rd(slot):
+            return wrk[pl.ds(slot, 1), :]
+
+        def wr(slot, val):
+            wrk[pl.ds(slot, 1), :] = val
+
+        def ball_pair(slot):
+            """Coupled ‖a·W‖ ≤ 1 on (wrk[slot], wblk) — VMEM-resident."""
             a_new, wt_new = _transr_ball_value(
-                wrk[0:1, :], jnp.transpose(wblk[0]), lr, max_iters
+                rd(slot), jnp.transpose(wblk[0]), lr, max_iters
             )
-            wrk[0:1, :] = a_new
+            wr(slot, a_new)
             wblk[0] = jnp.transpose(wt_new)
-            d = pltpu.make_async_copy(
-                wrk.at[pl.ds(0, 1), :], tbl_a.at[pl.ds(idx_a, 1), :], sems.at[0]
-            )
-            d.start()
-            d.wait()
 
         def gradient_update(res, h_row, t_row, h_idx, t_idx, beta):
             """transr/trainer.cpp:144-191 for one (h, t, r) with sign beta;
-            gradients read the batch snapshot (h_row/t_row/w), writes RMW the
-            output tables sequentially."""
+            gradients read the batch snapshot (h_row/t_row/w), writes apply
+            sequentially to the VMEM-resident rows."""
+            distinct = h_idx != t_idx
+            t_slot = jnp.where(distinct, 2, 1)
+            dh = acc_copy(1, ent_out, h_idx, True, 13)
+            dh.start()
+            dt = acc_copy(2, ent_out, t_idx, True, 14)
+            dt.start()
+            dh.wait()
+            dt.wait()
+
             x = 2.0 * res
             if l1:
                 x = jnp.where(x > 0, 1.0, -1.0)
@@ -583,33 +598,57 @@ def _make_transr_kernel(l1: bool, lr: float, margin: float, k: int, max_iters: i
             wx = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
                                      precision=jax.lax.Precision.HIGHEST)
 
-            load_w()
             wblk[0] = wblk[0] + (-beta * lr) * outer
-            rmw_row(ent_out, h_idx, lambda row: row + (-beta * lr) * wx)
-            rmw_row(ent_out, t_idx, lambda row: row + (beta * lr) * wx)
-            rmw_row(rel_out, rr, lambda row: row + (-beta * lr) * x)
+            wr(1, rd(1) + (-beta * lr) * wx)
+            wr(t_slot, rd(t_slot) + (beta * lr) * wx)
+            wr(0, rd(0) + (-beta * lr) * x)
 
             # Constraints (transr/trainer.cpp:174-191): sphere the touched
             # e/r rows and every row of W_r, then the sequential transRNorm
             # on (h, W), (t, W) and the relation vector — the reference's
             # bug-B2 third call recast to its intent (models/transr.py:162).
-            rmw_row(rel_out, rr, sphere)
-            rmw_row(ent_out, h_idx, sphere)
-            rmw_row(ent_out, t_idx, sphere)
+            wr(0, sphere(rd(0)))
+            wr(1, sphere(rd(1)))
+            wr(t_slot, sphere(rd(t_slot)))
             wb = wblk[0]
             nrm = jnp.sqrt(jnp.sum(wb * wb, axis=1, keepdims=True))
             sub = jax.lax.broadcasted_iota(jnp.int32, wb.shape, 0)
             wblk[0] = jnp.where(sub < k, wb / nrm, 0.0)
-            ball_pair(ent_out, h_idx)
-            ball_pair(ent_out, t_idx)
-            ball_pair(rel_out, rr)
-            store_w()
+            ball_pair(1)
+            ball_pair(t_slot)
+            ball_pair(0)
+
+            dh = acc_copy(1, ent_out, h_idx, False, 13)
+            dh.start()
+            dh.wait()
+
+            @pl.when(distinct)
+            def _wb_t():
+                dt = acc_copy(2, ent_out, t_idx, False, 14)
+                dt.start()
+                dt.wait()
 
         @pl.when(viol)
         def _update():
             lacc[0, 0] += margin + e_p - e_n
+            dr = acc_copy(0, rel_out, rr, True, 13)
+            dr.start()
+            dw_in = pltpu.make_async_copy(
+                proj_out.at[pl.ds(rr, 1), :, :], wblk, sems.at[14]
+            )
+            dw_in.start()
+            dr.wait()
+            dw_in.wait()
             gradient_update(res_p, he, te, ph, pt, -1.0)
             gradient_update(res_n, nhv, ntv, nh, nt, +1.0)
+            dr = acc_copy(0, rel_out, rr, False, 13)
+            dr.start()
+            dw_out = pltpu.make_async_copy(
+                wblk, proj_out.at[pl.ds(rr, 1), :, :], sems.at[14]
+            )
+            dw_out.start()
+            dr.wait()
+            dw_out.wait()
 
         @pl.when(i == nb - 1)
         def _emit():
@@ -659,12 +698,17 @@ def transr_sequential_update(
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         scratch_shapes=[
-            pltpu.VMEM((5, k), jnp.float32),
+            # Double-buffered snapshot row slots: [2 samples × 5 rows, k].
+            pltpu.VMEM((10, k), jnp.float32),
+            # Double-buffered snapshot W_r matrices (prefetched per sample).
+            pltpu.VMEM((2, k, k), jnp.float32),
+            # Working W_r (RMW-resident across the whole violating sample).
             pltpu.VMEM((1, k, k), jnp.float32),
-            pltpu.VMEM((1, k, k), jnp.float32),
-            pltpu.VMEM((1, k), jnp.float32),
+            # Fused-RMW accumulator: 0=rel, 1=h, 2=t.
+            pltpu.VMEM((3, k), jnp.float32),
             pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((7,)),
+            # 0-9 row slots, 10-11 W snapshots, 12 init, 13-14 accumulator.
+            pltpu.SemaphoreType.DMA((15,)),
         ],
     )
     ent_out, rel_out, proj_out, loss = pl.pallas_call(
