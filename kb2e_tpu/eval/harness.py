@@ -446,7 +446,21 @@ def evaluate(
                 mesh, jax.sharding.PartitionSpec("model", None)
             ),
         )
-        params_sh = {**params, "entity": ent_pad}
+        # Everything else is fully replicated — placed explicitly so the
+        # same code runs on MULTI-PROCESS global meshes (jit over a global
+        # mesh rejects process-local arrays; every process holds the same
+        # host values, so a replicated device_put assembles the global
+        # array from local shards).
+        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+
+        def put_rep(x):
+            return jax.device_put(x, rep)
+
+        params_sh = {
+            **{k: put_rep(v) for k, v in params.items()},
+            "entity": ent_pad,
+        }
+        feed = {k: put_rep(v) for k, v in feed.items()}
         n_entities = int(entity_table.shape[0])
 
         if cluster_aware:
@@ -464,7 +478,7 @@ def evaluate(
                 idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad_n)])
                 raws, filts = par_eval.rank_seg_clustered_sharded(
                     mesh, model, params_sh,
-                    jnp.asarray(rel_np[idx_p]), jnp.asarray(start_np[idx_p]),
+                    put_rep(rel_np[idx_p]), put_rep(start_np[idx_p]),
                     feed["q_anchor"], feed["q_sign"], feed["q_true"],
                     feed["q_lo"], feed["q_count"], feed["filt_vals"],
                     distance, block_size, batch_size, kmax_all, n_entities,
@@ -486,8 +500,8 @@ def evaluate(
 
         raws, filts = par_eval.rank_all_scan_sharded(
             mesh, model, params_sh,
-            jnp.asarray(np.asarray(batch_rel, dtype=np.int32)),
-            jnp.asarray(np.asarray(batch_start, dtype=np.int32)),
+            put_rep(np.asarray(batch_rel, dtype=np.int32)),
+            put_rep(np.asarray(batch_start, dtype=np.int32)),
             feed["q_anchor"], feed["q_sign"], feed["q_rel"],
             feed["q_true"], feed["q_lo"], feed["q_count"],
             feed["filt_vals"],

@@ -57,6 +57,9 @@ class MultihostRunConfig:
     # written at the end of this 1-based epoch.
     die_after_epoch: int = 0
     die_process_id: int = 0
+    # Optional: after training, run the sharded filtered eval over the same
+    # global mesh; process 0 writes the metrics dict as JSON here.
+    eval_out: Optional[str] = None
 
 
 def run(
@@ -173,6 +176,31 @@ def run(
             np.savez(out_npz, **host_params)
             log(f"wrote {out_npz}")
         multihost.barrier("final_write")
+
+    if mh.eval_out:
+        # Multi-PROCESS filtered link prediction over the same global mesh:
+        # the sharded one-dispatch scan eval (eval/harness.py mesh path)
+        # runs with the entity axis sharded across ALL processes' devices;
+        # every process computes the identical replicated metrics and
+        # process 0 writes them (the integration test compares against a
+        # single-process evaluate over the same params).
+        import json
+
+        from kb2e_tpu.eval import harness
+
+        ds_full = triples_lib.load_dataset(
+            data_dir, splits=("train", "valid", "test")
+        )
+        metrics = harness.evaluate(model, params, ds_full, cfg, mesh=mesh)
+        log(
+            f"eval: filtered MR {metrics['filtered_mean_rank']:.4f} "
+            f"Hits@10 {metrics['filtered_hits10']:.4f}"
+        )
+        if pid == 0:
+            with open(mh.eval_out, "w") as f:
+                json.dump(metrics, f)
+            log(f"wrote {mh.eval_out}")
+        multihost.barrier("eval_write")
     return params
 
 
@@ -231,6 +259,7 @@ def main(argv: Optional[list] = None) -> None:
     ap.add_argument("--checkpoint-every", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--out-npz", default=None)
+    ap.add_argument("--eval-out", default=None)
     ap.add_argument("--die-after-epoch", type=int, default=0)
     ap.add_argument("--die-process-id", type=int, default=0)
     args = ap.parse_args(argv)
@@ -256,6 +285,7 @@ def main(argv: Optional[list] = None) -> None:
         resume=args.resume,
         die_after_epoch=args.die_after_epoch,
         die_process_id=args.die_process_id,
+        eval_out=args.eval_out,
     )
     run(args.model, cfg, mh, args.datadir, out_npz=args.out_npz)
 

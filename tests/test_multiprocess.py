@@ -91,13 +91,15 @@ def mp_artifacts(tiny_kg_dir, tmp_path_factory):
     """One uninterrupted 2-process run; reused by multiple assertions."""
     tmp = str(tmp_path_factory.mktemp("mp"))
     out = os.path.join(tmp, "uninterrupted.npz")
+    eval_out = os.path.join(tmp, "eval_metrics.json")
     ckpt = os.path.join(tmp, "ckpt_a")
     common = ["--datadir", tiny_kg_dir, "--out-npz", out,
+              "--eval-out", eval_out,
               "--checkpoint-dir", ckpt, "--checkpoint-every", str(CKPT_EVERY)]
     rc0, rc1 = _run_pair(tmp, "base", common, common)
     logs = _read_log(tmp, "base", 0) + _read_log(tmp, "base", 1)
     assert rc0 == 0 and rc1 == 0, f"worker failed:\n{logs[-4000:]}"
-    return {"tmp": tmp, "out": out, "kg": tiny_kg_dir}
+    return {"tmp": tmp, "out": out, "eval_out": eval_out, "kg": tiny_kg_dir}
 
 
 def test_two_process_train_runs_and_writes(mp_artifacts):
@@ -196,3 +198,41 @@ def test_kill_one_host_and_resume(mp_artifacts, tmp_path):
     got = np.load(out)
     np.testing.assert_array_equal(got["entity"], want["entity"])
     np.testing.assert_array_equal(got["relation"], want["relation"])
+
+
+def test_two_process_sharded_eval_matches_single_process(mp_artifacts):
+    """The sharded one-dispatch scan eval executed across TWO jax.distributed
+    processes (entity axis over the global mesh) must reproduce the
+    single-process metrics for the same params — the multi-host eval story
+    executed, not just designed."""
+    import json
+
+    import jax
+
+    from kb2e_tpu.config import EmbeddingConfig
+    from kb2e_tpu.data import triples as triples_lib
+    from kb2e_tpu.eval import harness
+    from kb2e_tpu.models import get_model
+    from kb2e_tpu.parallel import mesh as mesh_lib
+
+    with open(mp_artifacts["eval_out"]) as f:
+        mp_metrics = json.load(f)
+
+    final = np.load(mp_artifacts["out"])
+    params = {k: jax.numpy.asarray(v) for k, v in final.items()}
+    cfg = EmbeddingConfig(
+        embedding_size=16, learning_rate=0.05, margin=1.0, method=1,
+        num_batches=4, max_epochs=EPOCHS, distance=0, seed=11,
+    )
+    ds = triples_lib.load_dataset(
+        mp_artifacts["kg"], splits=("train", "valid", "test")
+    )
+    model = get_model("transe")
+    # Single-process over the same global mesh SHAPE (8 local devices)…
+    mesh = mesh_lib.make_mesh(4, 2)
+    single = harness.evaluate(model, params, ds, cfg, mesh=mesh)
+    # …and fully local.
+    local = harness.evaluate(model, params, ds, cfg)
+    for k, v in mp_metrics.items():
+        assert single[k] == pytest.approx(v, abs=1e-9), k
+        assert local[k] == pytest.approx(v, abs=1e-9), k
