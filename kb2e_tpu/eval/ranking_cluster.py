@@ -26,8 +26,6 @@ import jax.numpy as jnp
 from kb2e_tpu.constants import Distance
 from kb2e_tpu.ops import distances
 
-_PAD_VALUE = 1e30
-
 
 def _assign(u_block, v, sign, ce_sq):
     """Cluster ids [B, Nb] from u[Nb,C], v[B,C], sign [B], ce_sq [C]."""

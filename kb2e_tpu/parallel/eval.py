@@ -15,7 +15,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from kb2e_tpu.constants import Distance
 from kb2e_tpu.eval import ranking
