@@ -454,6 +454,14 @@ def main() -> None:
                 cmd += ["--eval", "--test-frac", str(args.test_frac),
                         "--n-train", str(args.n_train),
                         "--iters", str(args.iters)]
+            elif args.epoch:
+                cmd += ["--epoch", "--n-train", str(args.n_train)]
+                if args.structured:
+                    cmd += ["--structured"]
+                if args.host_slices:
+                    cmd += ["--host-slices"]
+                if args.ablate:
+                    cmd += ["--ablate", args.ablate]
             proc = subprocess.run(
                 cmd,
                 capture_output=True, text=True, timeout=args.timeout,
