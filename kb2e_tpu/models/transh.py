@@ -119,14 +119,23 @@ class TransH(base.Model):
         # deltas.  Corruption replaces exactly one entity, so the distinct
         # pairs per sample are (h, r), (t, r), (corrupted_entity, r);
         # cross-sample duplicates still accumulate (fast-mode approximation).
+        # All three pairs of a sample read the SAME w row, so w is gathered
+        # ONCE per sample (tiled to the three pair slots — a streaming copy,
+        # not a random gather) and the three w deltas are summed per sample
+        # before ONE scatter: −4B random row transactions per batch vs the
+        # former per-pair gather/scatter (the loop is transaction-bound,
+        # PERF.md "Speed of light"); same accumulate semantics, fp add order
+        # only.
         corrupted = jnp.where(nh != ph, nh, nt)
         e_idx = jnp.concatenate([ph, pt, corrupted])
-        w_idx = jnp.concatenate([r, r, r])
         e_rows = ent[e_idx]
-        w_rows = w_tab[w_idx]
+        w_row = w_tab[r]  # [B, k]
+        w_rows = jnp.concatenate([w_row, w_row, w_row])
         e_new, w_new = orth(e_rows, w_rows)
         ent = scatter.scatter_add(ent, e_idx, e_new - e_rows, cfg.scatter_mode)
-        w_tab = scatter.scatter_add(w_tab, w_idx, w_new - w_rows, cfg.scatter_mode)
+        b = ph.shape[0]
+        dw3 = (w_new - w_rows).reshape(3, b, -1).sum(axis=0)
+        w_tab = scatter.scatter_add(w_tab, r, dw3, cfg.scatter_mode)
         w_tab = projections.sphere_norm(w_tab)
 
         return {"entity": ent, "relation": rel, "norm": w_tab}, loss
