@@ -69,6 +69,22 @@ def planted_kg(
     target = z_e[h] + z_r[r]  # [T, d]
     # Chunked nearest-neighbour search to bound memory.
     t = np.empty(n_triples, dtype=np.int64)
+    if n_entities > 4000:
+        # FB15k-scale branch: the broadcast [chunk, N, d] float64 temp is
+        # multi-GB at 15k entities; use the matmul expansion
+        # d² = ‖q‖² + ‖z‖² − 2 q·z in float32 (BLAS, [chunk, N] temp only).
+        # Size-gated so small-KG protocols (whose pinned artifacts depend on
+        # the exact fp path) are byte-identical to before.
+        ze32 = z_e.astype(np.float32)
+        z_sq = np.sum(ze32 * ze32, axis=1)  # [N]
+        chunk = 2048
+        for s in range(0, n_triples, chunk):
+            q = target[s : s + chunk].astype(np.float32)
+            d2 = z_sq[None, :] - 2.0 * (q @ ze32.T)  # +‖q‖² is rank-constant
+            nn = np.argpartition(d2, neighbourhood, axis=1)[:, :neighbourhood]
+            pick = rng.integers(0, neighbourhood, nn.shape[0])
+            t[s : s + chunk] = nn[np.arange(nn.shape[0]), pick]
+        return _dedup(h.astype(np.int32), t.astype(np.int32), r.astype(np.int32))
     chunk = 4096
     for s in range(0, n_triples, chunk):
         d = np.linalg.norm(target[s : s + chunk, None, :] - z_e[None, :, :], axis=-1)
