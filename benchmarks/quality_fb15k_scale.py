@@ -74,9 +74,12 @@ def main() -> None:
     print(f"# planted FB15k-scale KG: {ts.num_triples} train / {n_test} test "
           f"({gen_s:.0f}s host generation)", flush=True)
 
-    model = get_model("transe")
     results = []
-    for k_neg, lr in ((1, 0.02), (8, 0.02 / 8)):
+    seed_params = None
+
+    def run_cell(model_name, k_neg, lr, init=None):
+        nonlocal seed_params
+        model = get_model(model_name)
         cfg = EmbeddingConfig(
             embedding_size=args.size, learning_rate=lr, margin=1.0,
             method=Method.BERN, num_batches=100, max_epochs=args.epochs,
@@ -84,16 +87,19 @@ def main() -> None:
             eval_block_size=1024, eval_batch_size=256,
         )
         t0 = time.time()
-        params = train_loop.train(model, cfg, ts, verbose=False)
+        params = train_loop.train(model, cfg, ts, init_params=init, verbose=False)
         train_s = time.time() - t0
+        if model_name == "transe" and k_neg == 1:
+            seed_params = params  # the reference's TransR seed chain
         t0 = time.time()
         m = harness.evaluate(model, params, ds, cfg)
         eval_s = time.time() - t0
         rec = {
-            "model": "transe",
+            "model": model_name,
             "negatives": k_neg,
             "learning_rate": lr,
             "epochs": args.epochs,
+            "warm_start": init is not None,
             "filtered_mean_rank": round(m["filtered_mean_rank"], 2),
             "filtered_hits10": round(m["filtered_hits10"], 4),
             "filtered_mrr": round(m["filtered_mrr"], 4),
@@ -104,6 +110,23 @@ def main() -> None:
         }
         results.append(rec)
         print(json.dumps(rec), flush=True)
+
+    run_cell("transe", 1, 0.02)
+    run_cell("transe", 8, 0.02 / 8)
+    run_cell("transh", 8, 0.02 / 8)
+    # TransR: the reference's seed chain (transr/trainer.cpp:88-113) from the
+    # K=1 TransE run; lr additionally /2 (examples/quality_run.py policy).
+    from kb2e_tpu.models import transr as transr_lib
+
+    tr = get_model("transr")
+    tr_cfg = EmbeddingConfig(embedding_size=args.size, seed=5)
+    init = tr.init_params(
+        __import__("jax").random.PRNGKey(1), N_ENTITIES, N_RELATIONS, tr_cfg
+    )
+    init = transr_lib.warm_start_params(
+        init, np.asarray(seed_params["entity"]), np.asarray(seed_params["relation"])
+    )
+    run_cell("transr", 8, 0.02 / 8 / 2, init=init)
 
     artifact = {
         "date": time.strftime("%Y-%m-%d"),
