@@ -120,13 +120,28 @@ def main() -> None:
 
     tr = get_model("transr")
     tr_cfg = EmbeddingConfig(embedding_size=args.size, seed=5)
-    init = tr.init_params(
-        __import__("jax").random.PRNGKey(1), N_ENTITIES, N_RELATIONS, tr_cfg
-    )
+    init = tr.init_params(jax.random.PRNGKey(1), N_ENTITIES, N_RELATIONS, tr_cfg)
     init = transr_lib.warm_start_params(
         init, np.asarray(seed_params["entity"]), np.asarray(seed_params["relation"])
     )
     run_cell("transr", 8, 0.02 / 8 / 2, init=init)
+
+    # CTransR: same warm start + k-means offset centers over the train graph.
+    from kb2e_tpu.models import ctransr as ctransr_lib
+
+    cm = get_model("ctransr")
+    cinit = cm.init_params(jax.random.PRNGKey(1), N_ENTITIES, N_RELATIONS, tr_cfg)
+    cinit = transr_lib.warm_start_params(
+        cinit, np.asarray(seed_params["entity"]), np.asarray(seed_params["relation"])
+    )
+    t0 = time.time()
+    centers = ctransr_lib.build_centers(
+        np.asarray(cinit["entity"]), ts.heads, ts.tails, ts.rels,
+        N_RELATIONS, cm.n_clusters, seed=5,
+    )
+    print(f"# ctransr centers: {time.time() - t0:.0f}s", flush=True)
+    cinit = cm.with_centers(cinit, centers)
+    run_cell("ctransr", 8, 0.02 / 8 / 2, init=cinit)
 
     artifact = {
         "date": time.strftime("%Y-%m-%d"),
